@@ -1,0 +1,112 @@
+"""Model / loss configuration for the TPU-native EGTR stack.
+
+Mirrors the hyperparameter surface of the reference
+``DeformableDetrConfig`` (reference: model/deformable_detr.py:72-267) plus the
+EGTR fields the reference attaches at runtime (train_egtr.py:230-252), but as a
+frozen, hashable dataclass so it can be passed as a static argument through
+``jax.jit``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class EgtrConfig:
+    # --- architecture (deformable_detr.py:141-180 defaults) ---
+    num_queries: int = 300
+    encoder_layers: int = 6
+    encoder_ffn_dim: int = 1024
+    encoder_attention_heads: int = 8
+    decoder_layers: int = 6
+    decoder_ffn_dim: int = 1024
+    decoder_attention_heads: int = 8
+    d_model: int = 256
+    dropout: float = 0.1
+    attention_dropout: float = 0.0
+    activation_dropout: float = 0.0
+    activation_function: str = "relu"
+    position_embedding_type: str = "sine"
+    backbone: str = "resnet50"
+    dilation: bool = False
+    num_feature_levels: int = 4
+    encoder_n_points: int = 4
+    decoder_n_points: int = 4
+    two_stage: bool = False
+    two_stage_num_proposals: int = 300
+    with_box_refine: bool = False
+    auxiliary_loss: bool = False
+    init_std: float = 0.02
+    init_xavier_std: float = 1.0
+
+    # --- detection loss / matcher (deformable_detr.py:171-180) ---
+    class_cost: float = 1.0
+    bbox_cost: float = 5.0
+    giou_cost: float = 2.0
+    bbox_loss_coefficient: float = 5.0
+    giou_loss_coefficient: float = 2.0
+    eos_coefficient: float = 0.1
+    focal_alpha: float = 0.25
+
+    # --- label spaces ---
+    num_labels: int = 150          # VG: 150 object classes
+    num_rel_labels: int = 50       # VG: 50 predicate classes
+
+    # --- EGTR additions (train_egtr.py:230-252) ---
+    ce_loss_coefficient: float = 2.0
+    rel_loss_coefficient: float = 15.0
+    connectivity_loss_coefficient: float = 30.0
+    smoothing: float = 1e-14
+    rel_sample_negatives: Optional[int] = 80
+    rel_sample_nonmatching: Optional[int] = 80
+    rel_sample_negatives_largest: bool = True
+    rel_sample_nonmatching_largest: bool = True
+    use_freq_bias: bool = True
+    use_log_softmax: bool = False
+    freq_bias_eps: float = 1e-12
+    logit_adjustment: bool = False
+    logit_adj_tau: float = 0.3
+
+    # --- TPU-native additions (no reference equivalent) ---
+    # Padded number of ground-truth boxes per image; targets are padded/masked
+    # to this static size so the whole loss jit-compiles once.
+    max_gt_boxes: int = 64
+    # Padded number of ground-truth relation triples per image.
+    max_gt_rels: int = 192
+    # Compute dtype for matmul-heavy paths ("bfloat16" or "float32").
+    compute_dtype: str = "float32"
+
+    @property
+    def head_dim(self) -> int:
+        return self.d_model // self.decoder_attention_heads
+
+    def replace(self, **kw) -> "EgtrConfig":
+        return dataclasses.replace(self, **kw)
+
+    # --- (de)serialization so configs round-trip like HF save_pretrained
+    #     (reference: pretrain_detr.py:490, evaluate_egtr.py:225-227) ---
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2, sort_keys=True)
+
+    @classmethod
+    def from_json(cls, s: str) -> "EgtrConfig":
+        d = json.loads(s)
+        fields = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in fields})
+
+    def save(self, path: str) -> None:
+        with open(path, "w") as f:
+            f.write(self.to_json())
+
+    @classmethod
+    def load(cls, path: str) -> "EgtrConfig":
+        with open(path) as f:
+            return cls.from_json(f.read())
+
+
+# Feature-level channel counts of the ResNet-50 C3/C4/C5 outputs consumed by the
+# input projections (reference: deformable_detr.py:1988-2026).
+RESNET50_STAGE_CHANNELS: Tuple[int, int, int] = (512, 1024, 2048)
