@@ -1,0 +1,115 @@
+"""ResNet-50 backbone with frozen BatchNorm (flax.linen, NHWC).
+
+TPU-native equivalent of the reference's timm backbone
+(``DeformableDetrTimmConvEncoder``, model/deformable_detr.py:733-787) with
+``DeformableDetrFrozenBatchNorm2d`` (:666-714). Outputs stages C3, C4, C5
+(strides 8/16/32) for the multi-scale feature pyramid.
+
+Frozen BN keeps the four torch buffers (weight/bias/running_mean/running_var)
+as non-trainable params so released checkpoints convert 1:1; the folded
+``x * scale + bias`` with eps inside the rsqrt matches
+deformable_detr.py:711-713 exactly.
+
+Freezing policy (deformable_detr.py:763-770): stem + layer1 params get zero
+learning rate via the optimizer param-group mask (egtr_tpu/train/optim.py) —
+the module itself is agnostic.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+class FrozenBatchNorm(nn.Module):
+    """BatchNorm with fixed statistics and affine params.
+
+    y = x * scale + bias, scale = weight * rsqrt(running_var + 1e-5),
+    bias = bias - running_mean * scale (reference deformable_detr.py:704-714).
+    """
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        weight = self.param("weight", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        mean = self.param("running_mean", nn.initializers.zeros, (self.features,))
+        var = self.param("running_var", nn.initializers.ones, (self.features,))
+        scale = weight * (var + 1e-5) ** -0.5
+        shift = bias - mean * scale
+        return x * scale.astype(x.dtype) + shift.astype(x.dtype)
+
+
+class Bottleneck(nn.Module):
+    """torchvision/timm-style bottleneck v1.5 (stride on the 3x3 conv)."""
+
+    width: int          # bottleneck width (e.g. 64 for layer1)
+    stride: int = 1
+    downsample: bool = False
+    expansion: int = 4
+
+    @nn.compact
+    def __call__(self, x):
+        identity = x
+        out = nn.Conv(self.width, (1, 1), use_bias=False, name="conv1")(x)
+        out = FrozenBatchNorm(self.width, name="bn1")(out)
+        out = nn.relu(out)
+        out = nn.Conv(
+            self.width, (3, 3), strides=(self.stride, self.stride),
+            padding=[(1, 1), (1, 1)], use_bias=False, name="conv2",
+        )(out)
+        out = FrozenBatchNorm(self.width, name="bn2")(out)
+        out = nn.relu(out)
+        out = nn.Conv(self.width * self.expansion, (1, 1), use_bias=False,
+                      name="conv3")(out)
+        out = FrozenBatchNorm(self.width * self.expansion, name="bn3")(out)
+        if self.downsample:
+            identity = nn.Conv(
+                self.width * self.expansion, (1, 1),
+                strides=(self.stride, self.stride), use_bias=False,
+                name="downsample_conv",
+            )(x)
+            identity = FrozenBatchNorm(
+                self.width * self.expansion, name="downsample_bn"
+            )(identity)
+        return nn.relu(out + identity)
+
+
+class ResNet50(nn.Module):
+    """ResNet-50 trunk returning (C3, C4, C5) feature maps, NHWC.
+
+    Matches timm ``resnet50(features_only=True, out_indices=(2,3,4))``
+    used by the reference (deformable_detr.py:748-756).
+    """
+
+    blocks: Sequence[int] = (3, 4, 6, 3)
+    widths: Sequence[int] = (64, 128, 256, 512)
+    out_stages: Sequence[int] = (2, 3, 4)  # C3, C4, C5 (1-indexed stages 2..4)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x) -> Tuple[jnp.ndarray, ...]:
+        x = x.astype(self.dtype)
+        # stem: 7x7/2 conv + frozen BN + relu + 3x3/2 maxpool
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
+                    use_bias=False, name="conv1")(x)
+        x = FrozenBatchNorm(64, name="bn1")(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+
+        outs = []
+        for stage, (n_blocks, width) in enumerate(zip(self.blocks, self.widths)):
+            stride = 1 if stage == 0 else 2
+            for b in range(n_blocks):
+                x = Bottleneck(
+                    width=width,
+                    stride=stride if b == 0 else 1,
+                    downsample=(b == 0),
+                    name=f"layer{stage + 1}_{b}",
+                )(x)
+            if (stage + 1) in self.out_stages:
+                outs.append(x)
+        return tuple(outs)

@@ -1,0 +1,95 @@
+"""Smoke + shape tests for the full model forward on a tiny config."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from egtr_tpu.config import EgtrConfig
+from egtr_tpu.models.detr import DeformableDetrBase, level_shapes
+from egtr_tpu.models.egtr import EgtrModel
+
+
+TINY = EgtrConfig(
+    d_model=64, encoder_layers=2, decoder_layers=2, encoder_ffn_dim=128,
+    decoder_ffn_dim=128, encoder_attention_heads=8, decoder_attention_heads=8,
+    num_queries=12, num_labels=7, num_rel_labels=5, num_feature_levels=4,
+    dropout=0.0,
+)
+
+
+def test_level_shapes():
+    assert level_shapes((600, 1000), 4) == ((75, 125), (38, 63), (19, 32), (10, 16))
+
+
+@pytest.fixture(scope="module")
+def base_forward():
+    cfg = TINY
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((1, 64, 96, 3)), jnp.float32)
+    mask = jnp.ones((1, 64, 96), bool)
+    model = DeformableDetrBase(cfg)
+    params = model.init(jax.random.PRNGKey(0), x, mask)
+    out = model.apply(params, x, mask)
+    return cfg, out
+
+
+def test_base_shapes(base_forward):
+    cfg, out = base_forward
+    Q, C, L = cfg.num_queries, cfg.num_labels, cfg.decoder_layers
+    H, Dh = cfg.decoder_attention_heads, cfg.head_dim
+    assert out["logits"].shape == (1, Q, C)
+    assert out["pred_boxes"].shape == (1, Q, 4)
+    assert out["all_logits"].shape == (1, L, Q, C)
+    assert out["attention_queries"].shape == (1, L, H, Q, Dh)
+    assert out["attention_keys"].shape == (1, L, H, Q, Dh)
+    assert out["last_hidden_state"].shape == (1, Q, cfg.d_model)
+    for k, v in out.items():
+        assert np.isfinite(np.asarray(v)).all(), f"non-finite in {k}"
+
+
+def test_base_boxes_in_unit_range(base_forward):
+    _, out = base_forward
+    b = np.asarray(out["pred_boxes"])
+    assert (b >= 0).all() and (b <= 1).all()
+
+
+def test_egtr_forward_shapes():
+    cfg = TINY
+    x = jnp.asarray(
+        np.random.default_rng(1).standard_normal((1, 64, 96, 3)), jnp.float32)
+    model = EgtrModel(cfg)
+    params = model.init(jax.random.PRNGKey(0), x)
+    out = model.apply(params, x)
+    Q, R = cfg.num_queries, cfg.num_rel_labels
+    assert out["pred_rel"].shape == (1, Q, Q, R)
+    assert out["pred_connectivity"].shape == (1, Q, Q, 1)
+    assert out["rel_gate_mean"].shape == (cfg.decoder_layers + 1,)
+    pr = np.asarray(out["pred_rel"])
+    assert (pr >= 0).all() and (pr <= 1).all()
+    assert np.isfinite(pr).all()
+
+
+def test_padding_mask_changes_nothing_for_valid_region():
+    """A padded batch must produce the same predictions for the real image
+    content as an unpadded one (static-bucket padding invariance)."""
+    cfg = TINY
+    rng = np.random.default_rng(2)
+    img = rng.standard_normal((1, 64, 96, 3)).astype(np.float32)
+    model = DeformableDetrBase(cfg)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(img))
+    out_a = model.apply(params, jnp.asarray(img),
+                        jnp.ones((1, 64, 96), bool))
+    # pad to 96x96 with garbage + mask
+    padded = np.zeros((1, 96, 96, 3), np.float32)
+    padded[:, :64, :96] = img
+    padded[:, 64:] = 123.0
+    mask = np.zeros((1, 96, 96), bool)
+    mask[:, :64, :96] = True
+    params_p = model.init(jax.random.PRNGKey(0), jnp.asarray(padded))
+    out_b = model.apply(params_p, jnp.asarray(padded), jnp.asarray(mask))
+    # predictions won't be bit-identical (conv padding effects at the
+    # boundary + valid-ratio scaling), but should be close
+    a = np.asarray(out_a["pred_boxes"])
+    b = np.asarray(out_b["pred_boxes"])
+    np.testing.assert_allclose(a, b, atol=0.15)
