@@ -1,0 +1,216 @@
+"""Host-side image preprocessing (numpy/PIL) with static shape buckets.
+
+Mirrors the reference preprocessing chain — HF ``DetrFeatureExtractor``
+(shortest-side resize + ImageNet normalize + pad) and the DETR-style train
+augmentors (model/deformable_detr.py:322-385, model/transform.py) — but pads
+every image to one of a small set of static bucket shapes so the TPU model
+compiles a bounded number of programs (SURVEY.md §7.6).
+
+Box convention inside targets: normalized (cx, cy, w, h) w.r.t. the
+*unpadded* resized image — identical to the reference (transform.py:255-271),
+so loss values and eval rescaling match.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+from PIL import Image
+
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+# DETR multi-scale training resolutions (deformable_detr.py:338)
+DETR_TRAIN_SCALES = (480, 512, 544, 576, 608, 640, 672, 704, 736, 768, 800)
+
+
+def size_with_aspect_ratio(w: int, h: int, size: int,
+                           max_size: Optional[int]) -> Tuple[int, int]:
+    """(oh, ow) for shortest-side resize — exact torch DetrFeatureExtractor
+    semantics (round + int truncation order preserved)."""
+    if max_size is not None:
+        min_o, max_o = float(min(w, h)), float(max(w, h))
+        if max_o / min_o * size > max_size:
+            size = int(round(max_size * min_o / max_o))
+    if (w <= h and w == size) or (h <= w and h == size):
+        return h, w
+    if w < h:
+        ow = size
+        oh = int(size * h / w)
+    else:
+        oh = size
+        ow = int(size * w / h)
+    return oh, ow
+
+
+@dataclasses.dataclass
+class Sample:
+    """One preprocessed example (before batching/padding)."""
+    image: np.ndarray            # [h, w, 3] float32, normalized
+    boxes: np.ndarray            # [n, 4] normalized cxcywh
+    class_labels: np.ndarray     # [n] int32
+    rel: np.ndarray              # [m, 3] int32 (subject_idx, object_idx, predicate)
+    orig_size: Tuple[int, int]   # (h, w) before any resize
+    size: Tuple[int, int]        # (h, w) after resize (pre-padding)
+    image_id: int = -1
+
+
+def _resize_image_and_boxes(img: Image.Image, boxes_xyxy: np.ndarray,
+                            target_hw: Tuple[int, int]):
+    oh, ow = target_hw
+    w, h = img.size
+    img = img.resize((ow, oh), Image.BILINEAR)
+    if len(boxes_xyxy):
+        scale = np.array([ow / w, oh / h, ow / w, oh / h], np.float32)
+        boxes_xyxy = boxes_xyxy * scale
+    return img, boxes_xyxy
+
+
+def _hflip(img: Image.Image, boxes_xyxy: np.ndarray):
+    w = img.size[0]
+    img = img.transpose(Image.FLIP_LEFT_RIGHT)
+    if len(boxes_xyxy):
+        flipped = boxes_xyxy.copy()
+        flipped[:, 0] = w - boxes_xyxy[:, 2]
+        flipped[:, 2] = w - boxes_xyxy[:, 0]
+        boxes_xyxy = flipped
+    return img, boxes_xyxy
+
+
+def preprocess(
+    img: Image.Image,
+    boxes_xyxy: np.ndarray,
+    class_labels: np.ndarray,
+    rel: np.ndarray,
+    *,
+    train: bool,
+    rng: Optional[np.random.Generator] = None,
+    size: int = 800,
+    max_size: int = 1333,
+    image_id: int = -1,
+) -> Sample:
+    """Resize (+ train-time augment) one image and its annotations.
+
+    Train path mirrors DeformableDetrFeatureExtractorWithAugmentorNoCrop
+    (deformable_detr.py:355-385): hflip(p=.5) then either a random DETR-scale
+    resize or a 400/500/600 downscale followed by a DETR-scale resize.
+    """
+    orig_w, orig_h = img.size
+    boxes_xyxy = np.asarray(boxes_xyxy, np.float32).reshape(-1, 4)
+
+    if train:
+        assert rng is not None
+        if rng.random() < 0.5:
+            img, boxes_xyxy = _hflip(img, boxes_xyxy)
+        if rng.random() < 0.5:
+            s = int(rng.choice(DETR_TRAIN_SCALES))
+            img, boxes_xyxy = _resize_image_and_boxes(
+                img, boxes_xyxy,
+                size_with_aspect_ratio(*img.size, s, max_size))
+        else:
+            s0 = int(rng.choice((400, 500, 600)))
+            img, boxes_xyxy = _resize_image_and_boxes(
+                img, boxes_xyxy, size_with_aspect_ratio(*img.size, s0, None))
+            s = int(rng.choice(DETR_TRAIN_SCALES))
+            img, boxes_xyxy = _resize_image_and_boxes(
+                img, boxes_xyxy,
+                size_with_aspect_ratio(*img.size, s, max_size))
+    else:
+        img, boxes_xyxy = _resize_image_and_boxes(
+            img, boxes_xyxy, size_with_aspect_ratio(*img.size, size, max_size))
+
+    w, h = img.size
+    arr = np.asarray(img, np.float32) / 255.0
+    arr = (arr - IMAGENET_MEAN) / IMAGENET_STD
+
+    # xyxy -> normalized cxcywh (transform.py:255-271)
+    if len(boxes_xyxy):
+        b = boxes_xyxy
+        cxcywh = np.stack([
+            (b[:, 0] + b[:, 2]) / 2, (b[:, 1] + b[:, 3]) / 2,
+            b[:, 2] - b[:, 0], b[:, 3] - b[:, 1]], axis=1)
+        cxcywh = cxcywh / np.array([w, h, w, h], np.float32)
+    else:
+        cxcywh = np.zeros((0, 4), np.float32)
+
+    return Sample(
+        image=arr, boxes=cxcywh,
+        class_labels=np.asarray(class_labels, np.int32),
+        rel=np.asarray(rel, np.int32).reshape(-1, 3),
+        orig_size=(orig_h, orig_w), size=(h, w), image_id=image_id)
+
+
+# ---------------------------------------------------------------------------
+# Static shape buckets
+
+
+def default_buckets(max_size: int = 1333) -> Tuple[Tuple[int, int], ...]:
+    """Buckets covering the DETR resize range with modest padding waste."""
+    if max_size <= 1000:  # FPS protocol: 600/1000
+        return ((608, 1008), (1008, 608), (768, 768))
+    return ((800, 1344), (1344, 800), (1024, 1024), (768, 1344), (1344, 768))
+
+
+def pick_bucket(h: int, w: int,
+                buckets: Sequence[Tuple[int, int]]) -> Tuple[int, int]:
+    """Smallest-area bucket that contains (h, w)."""
+    fitting = [(bh * bw, (bh, bw)) for bh, bw in buckets if bh >= h and bw >= w]
+    if not fitting:
+        # fall back to the max bucket (callers should size buckets so this
+        # never triggers for in-protocol inputs)
+        return max(buckets, key=lambda b: b[0] * b[1])
+    return min(fitting)[1]
+
+
+def collate(samples: List[Sample], bucket_hw: Tuple[int, int], max_gt: int,
+            num_rel_labels: int):
+    """Pad a list of samples into one fixed-shape batch dict.
+
+    Produces the padded-target layout consumed by
+    :mod:`egtr_tpu.ops.criterion` plus pixel_values/pixel_mask.
+    """
+    B = len(samples)
+    H, W = bucket_hw
+    pixel_values = np.zeros((B, H, W, 3), np.float32)
+    pixel_mask = np.zeros((B, H, W), bool)
+    class_labels = np.zeros((B, max_gt), np.int32)
+    boxes = np.tile(np.array([0.5, 0.5, 1.0, 1.0], np.float32),
+                    (B, max_gt, 1))
+    num_boxes = np.zeros((B,), np.int32)
+    rel = np.zeros((B, max_gt, max_gt, num_rel_labels), np.float32)
+    orig_sizes = np.zeros((B, 2), np.int32)
+    sizes = np.zeros((B, 2), np.int32)
+    image_ids = np.zeros((B,), np.int64)
+
+    for i, s in enumerate(samples):
+        h, w = s.image.shape[:2]
+        assert h <= H and w <= W, f"sample {h}x{w} exceeds bucket {H}x{W}"
+        pixel_values[i, :h, :w] = s.image
+        pixel_mask[i, :h, :w] = True
+        n = min(len(s.class_labels), max_gt)
+        class_labels[i, :n] = s.class_labels[:n]
+        if n:
+            boxes[i, :n] = s.boxes[:n]
+        num_boxes[i] = n
+        for (sj, oj, p) in s.rel:
+            if sj < n and oj < n and 0 <= p < num_rel_labels:
+                rel[i, sj, oj, p] = 1.0
+        orig_sizes[i] = s.orig_size
+        sizes[i] = s.size
+        image_ids[i] = s.image_id
+
+    return {
+        "pixel_values": pixel_values,
+        "pixel_mask": pixel_mask,
+        "labels": {
+            "class_labels": class_labels,
+            "boxes": boxes,
+            "num_boxes": num_boxes,
+            "rel": rel,
+        },
+        "orig_size": orig_sizes,
+        "size": sizes,
+        "image_id": image_ids,
+    }

@@ -1,0 +1,177 @@
+"""Batched Hungarian matching in pure JAX.
+
+TPU-native replacement for the reference matcher's host round-trip
+(``DeformableDetrHungarianMatcher``, model/deformable_detr.py:2886-3015,
+which moves the cost matrix to CPU and calls scipy per image). Here the cost
+matrix is built on device and the assignment is solved *inside jit* with a
+vectorized Jonker-Volgenant shortest-augmenting-path solver, vmapped over the
+batch — no host sync, works under ``shard_map``.
+
+Padded-target convention: each image has ``max_gt`` target slots; slot j is
+real iff ``j < num_boxes``. Padded rows get a constant large cost so the
+restriction of the optimal assignment to real targets is itself optimal
+(constant rows cannot change which queries the real targets prefer).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .boxes import box_cxcywh_to_xyxy, generalized_box_iou
+
+_BIG = 1e9
+_PAD_COST = 1e5  # constant cost of padded gt rows; >> any real matching cost
+
+
+class MatchResult(NamedTuple):
+    # per gt slot j: index of the query assigned to it (valid iff j < num_boxes)
+    query_index: jax.Array      # [B, G] int32
+    # per gt slot j: the (smoothing-shifted) matching cost at the assignment
+    matching_cost: jax.Array    # [B, G] float32
+    # per query q: matched gt slot, or -1 (valid only for assigned queries)
+    gt_index: jax.Array         # [B, Q] int32
+
+
+def compute_cost_matrix(logits, pred_boxes, tgt_ids, tgt_boxes, tgt_valid,
+                        class_cost: float, bbox_cost: float, giou_cost: float,
+                        smoothing: float, focal_alpha: float = 0.25,
+                        focal_gamma: float = 2.0):
+    """Cost matrix [B, Q, G]. Reference: deformable_detr.py:2949-2996.
+
+    Padded target columns (``~tgt_valid``) are overwritten with ``_PAD_COST``.
+    """
+    out_prob = jax.nn.sigmoid(logits.astype(jnp.float32))    # [B,Q,C]
+    alpha, gamma = focal_alpha, focal_gamma
+    neg = (1 - alpha) * (out_prob ** gamma) * (-jnp.log(1 - out_prob + 1e-8))
+    pos = alpha * ((1 - out_prob) ** gamma) * (-jnp.log(out_prob + 1e-8))
+    # gather per target class: [B,Q,G]
+    safe_ids = jnp.clip(tgt_ids, 0)
+    cls = jnp.take_along_axis(pos - neg, safe_ids[:, None, :], axis=2)
+
+    bbox = jnp.abs(
+        pred_boxes[:, :, None, :].astype(jnp.float32)
+        - tgt_boxes[:, None, :, :].astype(jnp.float32)
+    ).sum(-1)                                                # [B,Q,G]
+    giou = generalized_box_iou(
+        box_cxcywh_to_xyxy(pred_boxes.astype(jnp.float32)),
+        box_cxcywh_to_xyxy(tgt_boxes.astype(jnp.float32)))   # [B,Q,G]
+
+    cost = bbox_cost * bbox + class_cost * cls + giou_cost * (-giou)
+
+    if smoothing:
+        # shift so a perfect match sits at inverse_sigmoid(smoothing)
+        # (deformable_detr.py:2987-2996)
+        bias_eps = math.log(1e-8)
+        cost_min = class_cost * (1 - alpha) * bias_eps - giou_cost
+        inv_sig = -math.log(1.0 / smoothing - 1.0)
+        cost = cost - cost_min + inv_sig
+
+    return jnp.where(tgt_valid[:, None, :], cost, _PAD_COST)
+
+
+def _lsa_single(cost):
+    """Jonker-Volgenant LSA for one image. cost: [G, Q] (rows=targets).
+
+    Returns col4row [G] — the query assigned to each target row. Mirrors
+    scipy's rectangular_lsap algorithm (shortest augmenting path with dual
+    potentials), expressed with lax loops + vectorized relaxation.
+    """
+    G, Q = cost.shape
+    assert G <= Q, "need at least as many queries as (padded) targets"
+    cost = cost.astype(jnp.float32)
+
+    u0 = jnp.zeros((G,), jnp.float32)
+    v0 = jnp.zeros((Q,), jnp.float32)
+    row4col0 = jnp.full((Q,), -1, jnp.int32)
+    col4row0 = jnp.full((G,), -1, jnp.int32)
+
+    def augment_row(cur_row, state):
+        u, v, row4col, col4row = state
+        spc = jnp.full((Q,), jnp.inf, jnp.float32)  # shortest path costs
+        path = jnp.full((Q,), -1, jnp.int32)
+        done = jnp.zeros((Q,), bool)                # SC
+        visited = jnp.zeros((G,), bool)             # SR
+
+        def cond(s):
+            _, _, _, _, sink, _, _ = s
+            return sink < 0
+
+        def body(s):
+            i, spc, path, done, sink, min_val, visited = s
+            visited = visited.at[i].set(True)
+            r = min_val + cost[i] - u[i] - v        # [Q]
+            upd = (~done) & (r < spc)
+            spc = jnp.where(upd, r, spc)
+            path = jnp.where(upd, i, path)
+            masked = jnp.where(done, jnp.inf, spc)
+            q_min = jnp.argmin(masked).astype(jnp.int32)
+            min_val = masked[q_min]
+            done = done.at[q_min].set(True)
+            nxt = row4col[q_min]
+            sink = jnp.where(nxt < 0, q_min, -1)
+            i = jnp.where(nxt < 0, i, nxt)
+            return i, spc, path, done, sink, min_val, visited
+
+        i0 = jnp.int32(cur_row)
+        s = (i0, spc, path, done, jnp.int32(-1), jnp.float32(0.0), visited)
+        i, spc, path, done, sink, min_val, visited = jax.lax.while_loop(
+            cond, body, s)
+
+        # dual updates (rectangular_lsap semantics)
+        u = u.at[cur_row].add(min_val)
+        others = visited & (jnp.arange(G) != cur_row)
+        spc_at_assigned = jnp.where(
+            col4row >= 0, spc[jnp.clip(col4row, 0)], 0.0)
+        u = jnp.where(others, u + min_val - spc_at_assigned, u)
+        v = jnp.where(done, v - (min_val - spc), v)
+
+        # augment along the alternating path from sink back to cur_row
+        def aug_cond(t):
+            _, _, i, _ = t
+            return i != cur_row
+
+        def aug_body(t):
+            j, row4col, i, col4row = t
+            i = path[j]
+            row4col = row4col.at[j].set(i)
+            j_next = col4row[i]
+            col4row = col4row.at[i].set(j)
+            return j_next, row4col, i, col4row
+
+        j, row4col, _, col4row = jax.lax.while_loop(
+            aug_cond, aug_body, (sink, row4col, jnp.int32(-2), col4row))
+
+        return u, v, row4col, col4row
+
+    state = (u0, v0, row4col0, col4row0)
+    state = jax.lax.fori_loop(0, G, augment_row, state)
+    _, _, _, col4row = state
+    return col4row
+
+
+@functools.partial(jax.jit, static_argnames=())
+def hungarian_match(cost, num_boxes):
+    """Batched assignment. cost: [B, Q, G]; num_boxes: [B].
+
+    Returns :class:`MatchResult`. Padded target slots receive arbitrary
+    (but distinct) queries; callers must mask with ``j < num_boxes``.
+    """
+    B, Q, G = cost.shape
+    costT = jnp.swapaxes(cost, 1, 2)             # [B, G, Q]
+    col4row = jax.vmap(_lsa_single)(costT)       # [B, G]
+    matching_cost = jnp.take_along_axis(
+        costT, col4row[:, :, None], axis=2)[..., 0]  # [B, G]
+
+    # inverse map: per query, which gt slot (or -1)
+    gt_index = jnp.full((B, Q), -1, jnp.int32)
+    slot = jnp.broadcast_to(jnp.arange(G, dtype=jnp.int32)[None], (B, G))
+    valid = slot < num_boxes[:, None]
+    gt_index = gt_index.at[
+        jnp.arange(B)[:, None], col4row
+    ].set(jnp.where(valid, slot, -1), mode="drop")
+    return MatchResult(col4row.astype(jnp.int32), matching_cost, gt_index)

@@ -1,0 +1,272 @@
+"""Loss parity vs an independent numpy re-derivation of the reference math.
+
+The oracle follows SceneGraphGenerationLoss (egtr.py:544-1034) /
+DeformableDetrLoss per-image, with scipy linear_sum_assignment and explicit
+permutation indices — deliberately written in the reference's style (python
+loops, variable shapes) to cross-check the padded/masked JAX version.
+"""
+
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from scipy.optimize import linear_sum_assignment
+
+from egtr_tpu.config import EgtrConfig
+from egtr_tpu.ops import criterion as C
+
+
+CFG = EgtrConfig(
+    num_queries=14, num_labels=9, num_rel_labels=6, max_gt_boxes=5,
+    max_gt_rels=8, smoothing=1e-14, rel_sample_negatives=2,
+    rel_sample_nonmatching=2, ce_loss_coefficient=2.0)
+
+
+def sigmoid(x):
+    return 1 / (1 + np.exp(-x))
+
+
+def softplus(x):
+    return np.maximum(x, 0) + np.log1p(np.exp(-np.abs(x)))
+
+
+def bce(logit, target):
+    return np.maximum(logit, 0) - logit * target + np.log1p(np.exp(-np.abs(logit)))
+
+
+def make_batch(rng, B=3):
+    cfg = CFG
+    Q, G, Cc, R = cfg.num_queries, cfg.max_gt_boxes, cfg.num_labels, cfg.num_rel_labels
+    logits = rng.standard_normal((B, Q, Cc)).astype(np.float32)
+    boxes_q = rng.uniform(0.3, 0.6, size=(B, Q, 4)).astype(np.float32)
+    pred_rel = rng.standard_normal((B, Q, Q, R)).astype(np.float32)
+    pred_conn = rng.standard_normal((B, Q, Q, 1)).astype(np.float32)
+    num_boxes = np.array([3, 5, 1][:B], np.int32)
+    cls = rng.integers(0, Cc, size=(B, G)).astype(np.int32)
+    tb = rng.uniform(0.3, 0.6, size=(B, G, 4)).astype(np.float32)
+    rel = np.zeros((B, G, G, R), np.float32)
+    for b in range(B):
+        n = num_boxes[b]
+        for _ in range(4):
+            s, o = rng.integers(0, n, 2)
+            p = rng.integers(0, R)
+            rel[b, s, o, p] = 1.0
+    targets = {"class_labels": cls, "boxes": tb, "num_boxes": num_boxes,
+               "rel": rel}
+    outputs = {"logits": logits, "pred_boxes": boxes_q,
+               "pred_rel_logits": pred_rel,
+               "pred_connectivity_logits": pred_conn}
+    return outputs, targets
+
+
+def oracle_cost_matrix(logits, boxes_q, cls, tb, cfg):
+    prob = sigmoid(logits)
+    alpha, gamma = 0.25, 2.0
+    neg = (1 - alpha) * prob ** gamma * (-np.log(1 - prob + 1e-8))
+    pos = alpha * (1 - prob) ** gamma * (-np.log(prob + 1e-8))
+    cost_class = pos[:, cls] - neg[:, cls]
+    l1 = np.abs(boxes_q[:, None] - tb[None]).sum(-1)
+
+    def xyxy(c):
+        return np.stack([c[..., 0] - c[..., 2] / 2, c[..., 1] - c[..., 3] / 2,
+                         c[..., 0] + c[..., 2] / 2, c[..., 1] + c[..., 3] / 2],
+                        -1)
+    a, b = xyxy(boxes_q), xyxy(tb)
+    iw = np.clip(np.minimum(a[:, None, 2], b[None, :, 2])
+                 - np.maximum(a[:, None, 0], b[None, :, 0]), 0, None)
+    ih = np.clip(np.minimum(a[:, None, 3], b[None, :, 3])
+                 - np.maximum(a[:, None, 1], b[None, :, 1]), 0, None)
+    inter = iw * ih
+    area_a = (a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1])
+    area_b = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+    union = area_a[:, None] + area_b[None] - inter
+    iou = inter / union
+    hw = (np.maximum(a[:, None, 2], b[None, :, 2])
+          - np.minimum(a[:, None, 0], b[None, :, 0]))
+    hh = (np.maximum(a[:, None, 3], b[None, :, 3])
+          - np.minimum(a[:, None, 1], b[None, :, 1]))
+    hull = hw * hh
+    giou = iou - (hull - union) / hull
+
+    cost = (cfg.bbox_cost * l1 + cfg.ce_loss_coefficient * cost_class
+            + cfg.giou_cost * (-giou))
+    cost_min = cfg.ce_loss_coefficient * (1 - alpha) * math.log(1e-8) \
+        - cfg.giou_cost
+    return cost - cost_min - math.log(1.0 / cfg.smoothing - 1.0)
+
+
+def oracle_sgg_loss(outputs, targets, cfg, train):
+    """Reference-style per-image loss (no sampling randomness: largest=True)."""
+    B, Q, Cc = outputs["logits"].shape
+    R = cfg.num_rel_labels
+    nm_cost = (-math.log(1e-8) * cfg.ce_loss_coefficient + 4 * cfg.bbox_cost
+               + 2 * cfg.giou_cost - math.log(1.0 / cfg.smoothing - 1.0))
+
+    num_boxes_total = max(targets["num_boxes"].sum(), 1)
+    focal_sum = 0.0
+    l1_sum = 0.0
+    giou_sum = 0.0
+    card_errs = []
+    rel_sums, rel_counts, conn_losses = [], [], []
+    unc_vals = []
+
+    for b in range(B):
+        n = targets["num_boxes"][b]
+        cls = targets["class_labels"][b, :n]
+        tb = targets["boxes"][b, :n]
+        cost = oracle_cost_matrix(outputs["logits"][b],
+                                  outputs["pred_boxes"][b], cls, tb, cfg)
+        rows, cols = linear_sum_assignment(cost)
+        mcost = cost[rows, cols]
+
+        # focal
+        tc = np.full(Q, Cc, np.int64)
+        tc[rows] = cls[cols]
+        onehot = np.zeros((Q, Cc + 1), np.float32)
+        onehot[np.arange(Q), tc] = 1
+        onehot = onehot[:, :-1]
+        prob = sigmoid(outputs["logits"][b])
+        ce = bce(outputs["logits"][b], onehot)
+        p_t = prob * onehot + (1 - prob) * (1 - onehot)
+        focal = ce * (1 - p_t) ** 2
+        alpha_t = 0.25 * onehot + 0.75 * (1 - onehot)
+        focal_sum += (alpha_t * focal).sum()
+
+        # boxes
+        sb = outputs["pred_boxes"][b][rows]
+        tbm = tb[cols]
+        l1_sum += np.abs(sb - tbm).sum()
+
+        def xyxy(c):
+            return np.stack([c[..., 0] - c[..., 2] / 2,
+                             c[..., 1] - c[..., 3] / 2,
+                             c[..., 0] + c[..., 2] / 2,
+                             c[..., 1] + c[..., 3] / 2], -1)
+        a, bb = xyxy(sb), xyxy(tbm)
+        for k in range(len(rows)):
+            iw = max(0, min(a[k, 2], bb[k, 2]) - max(a[k, 0], bb[k, 0]))
+            ih = max(0, min(a[k, 3], bb[k, 3]) - max(a[k, 1], bb[k, 1]))
+            inter = iw * ih
+            aa = (a[k, 2] - a[k, 0]) * (a[k, 3] - a[k, 1])
+            ab = (bb[k, 2] - bb[k, 0]) * (bb[k, 3] - bb[k, 1])
+            union = aa + ab - inter
+            hull = (max(a[k, 2], bb[k, 2]) - min(a[k, 0], bb[k, 0])) * \
+                (max(a[k, 3], bb[k, 3]) - min(a[k, 1], bb[k, 1]))
+            giou_sum += 1 - (inter / union - (hull - union) / hull)
+
+        card_pred = (outputs["logits"][b].argmax(-1) != Cc - 1).sum()
+        card_errs.append(abs(float(card_pred) - float(n)))
+
+        # relations — reference permutation
+        src_index, target_index = rows, cols
+        full_index = np.arange(Q)
+        unmatched = np.setdiff1d(full_index, src_index)
+        full_src = np.concatenate([src_index, unmatched])
+        full_tgt = np.concatenate([target_index, np.arange(len(rows), Q)])
+        full_cost = np.concatenate(
+            [mcost, np.full(Q - len(mcost), nm_cost)])
+
+        rel_gt = np.zeros((Q, Q, R), np.float32)
+        rel_gt[:n, :n] = targets["rel"][b, :n, :n]
+        pred_rel = outputs["pred_rel_logits"][b][full_src][:, full_src]
+        target_rel = rel_gt[full_tgt][:, full_tgt]
+
+        # connectivity
+        tconn = (target_rel.sum(-1, keepdims=True) > 0).astype(np.float32)
+        pconn = outputs["pred_connectivity_logits"][b][full_src][:, full_src]
+        conn_losses.append(bce(pconn, tconn))
+
+        weight = 1.0 - sigmoid(full_cost)
+        if train:
+            matched = full_cost != nm_cost
+            nt = int(matched.sum())
+            true_idx = np.argwhere(target_rel[:nt, :nt, :] == 1.0)
+            false_idx = np.argwhere(target_rel[:nt, :nt, :] != 1.0)
+            pm = np.outer(matched, matched)[..., None].repeat(R, -1)
+            nonm_idx = np.argwhere(~pm)
+            n_rel = len(true_idx)
+
+            def topk(idx, k):
+                if k == 0 or n_rel == 0:
+                    return idx[:0]
+                scores = pred_rel[idx[:, 0], idx[:, 1], idx[:, 2]]
+                k = min(k, len(scores))
+                sel = np.argsort(-scores, kind="stable")[:k]
+                return idx[sel]
+
+            false_idx = topk(false_idx, n_rel * cfg.rel_sample_negatives)
+            nonm_idx = topk(nonm_idx, n_rel * cfg.rel_sample_nonmatching)
+            all_idx = np.concatenate([true_idx, false_idx, nonm_idx])
+            pr = pred_rel[all_idx[:, 0], all_idx[:, 1], all_idx[:, 2]]
+            tr = target_rel[all_idx[:, 0], all_idx[:, 1], all_idx[:, 2]]
+            ww = weight[all_idx[:, 0]] * weight[all_idx[:, 1]]
+            tr = tr * ww
+            rel_sums.append(bce(pr, tr).sum())
+            rel_counts.append(len(all_idx))
+        else:
+            ww = np.outer(weight, weight)
+            tr = target_rel * ww[..., None]
+            rel_sums.append(bce(pred_rel, tr).mean(-1).sum())
+            rel_counts.append(Q * Q)
+
+        # uncertainty
+        nz = np.argwhere(target_rel[target_index][:, target_index])
+        u = sigmoid(mcost)
+        if len(nz):
+            unc_vals.extend((u[nz[:, 0]] * u[nz[:, 1]]).tolist())
+
+    return {
+        "loss_ce": focal_sum / num_boxes_total,
+        "loss_bbox": l1_sum / num_boxes_total,
+        "loss_giou": giou_sum / num_boxes_total,
+        "cardinality_error": np.mean(card_errs),
+        "loss_rel": np.sum(rel_sums) / np.sum(rel_counts),
+        "loss_connectivity": np.mean(
+            np.stack([c.mean() for c in conn_losses])),
+        "uncertainty": np.mean(unc_vals) if unc_vals else 0.0,
+    }
+
+
+def _check(train, rng):
+    outputs, targets = make_batch(rng)
+    ref = oracle_sgg_loss(outputs, targets, CFG, train=train)
+    j_out = {k: jnp.array(v) for k, v in outputs.items()}
+    j_tgt = {k: jnp.array(v) for k, v in targets.items()}
+    total, losses = C.sgg_criterion(j_out, j_tgt, CFG, train=train)
+    for k, v in ref.items():
+        np.testing.assert_allclose(
+            np.asarray(losses[k]), v, rtol=2e-3, atol=2e-4,
+            err_msg=f"loss {k} (train={train})")
+    # weighted total
+    ref_total = (2.0 * ref["loss_ce"] + 5.0 * ref["loss_bbox"]
+                 + 2.0 * ref["loss_giou"] + 15.0 * ref["loss_rel"]
+                 + 30.0 * ref["loss_connectivity"])
+    np.testing.assert_allclose(np.asarray(total), ref_total, rtol=2e-3)
+
+
+def test_sgg_loss_eval_mode(rng):
+    _check(False, rng)
+
+
+def test_sgg_loss_train_mode(rng):
+    _check(True, rng)
+
+
+def test_detection_criterion_runs(rng):
+    outputs, targets = make_batch(rng)
+    cfg = CFG.replace(auxiliary_loss=True)
+    B, Q, Cc = outputs["logits"].shape
+    L = cfg.decoder_layers
+    outputs["all_logits"] = np.broadcast_to(
+        outputs["logits"][:, None], (B, L, Q, Cc)).copy()
+    outputs["all_pred_boxes"] = np.broadcast_to(
+        outputs["pred_boxes"][:, None], (B, L, Q, 4)).copy()
+    j_out = {k: jnp.array(v) for k, v in outputs.items()}
+    j_tgt = {k: jnp.array(v) for k, v in targets.items()}
+    total, losses = C.detection_criterion(j_out, j_tgt, cfg)
+    assert np.isfinite(np.asarray(total))
+    assert "loss_ce_0" in losses and f"loss_giou_{L-2}" in losses
+    # aux layers share the same predictions -> identical losses
+    np.testing.assert_allclose(np.asarray(losses["loss_ce_0"]),
+                               np.asarray(losses["loss_ce"]), rtol=1e-5)
