@@ -35,8 +35,13 @@ import jax
 import jax.numpy as jnp
 
 from ..config import EgtrConfig
+from ..parallel.mesh import DATA_AXIS, MODEL_AXIS, maybe_constraint
 from .detr import DeformableDetrBase
 from .layers import dense, default_kernel_init
+
+# the Q^2 pairwise grid shards its subject axis over the model axis — the
+# sequence-parallel analog for this architecture (SURVEY.md §5)
+_PAIR_SPEC = jax.sharding.PartitionSpec(DATA_AXIS, MODEL_AXIS)
 
 
 def compute_freq_dists(fg_matrix, eps: float, use_log_softmax: bool):
@@ -104,6 +109,7 @@ class EgtrHead(nn.Module):
         gb = jnp.einsum("bqle,eo->bqlo", Ks, wg[E:])[..., 0]   # [B,Q,L+1]
         gate = jax.nn.sigmoid(
             ga[:, :, None, :] + gb[:, None, :, :] + bg[0])     # [B,Q,Q,L+1]
+        gate = maybe_constraint(gate, _PAIR_SPEC)
 
         # first MLP layer of rel_predictor, factorized (see module docstring)
         w1 = self.param("rel_predictor_layers_0_kernel", default_kernel_init,
@@ -114,6 +120,7 @@ class EgtrHead(nn.Module):
         Bk = jnp.einsum("bjle,ed->bjld", Ks, w1[E:])
         h1 = (jnp.einsum("bijl,bild->bijd", gate, Aq)
               + jnp.einsum("bijl,bjld->bijd", gate, Bk) + b1)
+        h1 = maybe_constraint(h1, _PAIR_SPEC)
         h = nn.relu(h1)
         h = nn.relu(dense(E, "rel_predictor_layers_1")(h))
         pred_rel = dense(R, "rel_predictor_layers_2")(h)        # [B,Q,Q,R]

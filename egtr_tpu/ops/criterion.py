@@ -21,6 +21,7 @@ from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import EgtrConfig
 from .boxes import box_cxcywh_to_xyxy, generalized_box_iou
@@ -184,7 +185,8 @@ def relation_losses(pred_rel_logits, pred_conn_logits, targets,
         if k_per_rel is None:
             return jnp.zeros((B,)), jnp.zeros((B,))
         avail = cand_mask.sum(axis=(1, 2, 3))
-        K = int(k_per_rel * cfg.max_gt_rels)
+        K = min(int(k_per_rel * cfg.max_gt_rels),
+                int(np.prod(pred_rel_logits.shape[1:])))
         k_eff = jnp.minimum(k_per_rel * n_true, avail)              # [B]
         k_eff = jnp.where(n_true == 0, 0, jnp.minimum(k_eff, K))
         flat_logits = pred_rel_logits.reshape(B, -1)

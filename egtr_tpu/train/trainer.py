@@ -1,0 +1,153 @@
+"""Training loop: epochs, validation monitoring, early stopping, two-phase
+schedule, resume — the TPU-native replacement for the reference's
+PyTorch-Lightning Trainer wiring (train_egtr.py:762-877,
+pretrain_detr.py:398-478).
+
+- one compiled train step per bucket shape; metrics stream to JSONL
+  (TensorBoardLogger analog),
+- ``validation_loss`` = epoch mean of eval-mode total loss
+  (train_egtr.py:339-348) drives checkpointing + EarlyStopping(patience=15),
+- the finetune phase re-runs everything at 0.1x learning rates from the best
+  main-phase checkpoint (train_egtr.py:790-870),
+- relaunching with the same log_dir auto-resumes from the last checkpoint.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Callable, Dict, Optional
+
+import jax
+import numpy as np
+
+from ..config import EgtrConfig
+from ..parallel.mesh import shard_batch
+from .checkpoint import CheckpointManager
+from .optim import make_optimizer
+from .train_step import TrainState, create_state, make_eval_step, make_train_step
+
+
+class MetricLogger:
+    """Append-only JSONL metric stream + console summary."""
+
+    def __init__(self, log_dir: str):
+        os.makedirs(log_dir, exist_ok=True)
+        self.path = os.path.join(log_dir, "metrics.jsonl")
+
+    def log(self, record: Dict) -> None:
+        rec = {k: (float(v) if hasattr(v, "item") or isinstance(
+            v, (int, float, np.floating)) else v) for k, v in record.items()}
+        rec["time"] = time.time()
+        with open(self.path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+
+
+def fit(model, cfg: EgtrConfig, *, train_loader, val_loader, log_dir: str,
+        task: str = "sgg", lr: float = 2e-6, lr_backbone: float = 2e-7,
+        lr_initialized: Optional[float] = 2e-4, weight_decay: float = 1e-4,
+        grad_clip: float = 0.1, max_epochs: int = 50, patience: int = 15,
+        accum_steps: int = 1, init_params=None, mesh=None, seed: int = 42,
+        log_every: int = 50) -> TrainState:
+    """Run one training phase; returns the final state (best ckpt on disk)."""
+    logger = MetricLogger(log_dir)
+    tx = make_optimizer(lr, lr_backbone, lr_initialized, weight_decay,
+                        grad_clip)
+    ckpt = CheckpointManager(os.path.join(log_dir, "checkpoints"))
+
+    train_step = make_train_step(model, cfg, tx, task=task,
+                                 accum_steps=accum_steps)
+    eval_step = make_eval_step(model, cfg, task=task)
+
+    rng = jax.random.PRNGKey(seed)
+    if init_params is None:
+        batch0 = next(iter(train_loader))
+        rng, init_key = jax.random.split(rng)
+        init_params = model.init(
+            init_key, jax.numpy.asarray(batch0["pixel_values"][:1]))
+    state = create_state(init_params, tx)
+
+    start_epoch = 0
+    latest = ckpt.latest_step()
+    if latest is not None:
+        state = ckpt.restore(state, latest)
+        start_epoch = latest
+        print(f"[trainer] resumed from epoch {latest}")
+
+    best_val = float("inf")
+    epochs_no_improve = 0
+
+    for epoch in range(start_epoch, max_epochs):
+        t0 = time.time()
+        n_steps = 0
+        for batch in train_loader:
+            if mesh is not None:
+                batch = shard_batch(batch, mesh)
+            rng, step_key = jax.random.split(rng)
+            state, metrics = train_step(state, batch, step_key)
+            n_steps += 1
+            if n_steps % log_every == 0:
+                logger.log({"phase": "train", "epoch": epoch,
+                            "step": int(state.step),
+                            **{k: v for k, v in metrics.items()}})
+
+        # validation: epoch-mean losses (train_egtr.py:339-348)
+        val_sums: Dict[str, float] = {}
+        val_n = 0
+        for batch in val_loader:
+            if mesh is not None:
+                batch = shard_batch(batch, mesh)
+            _, losses = eval_step(state.params, batch)
+            for k, v in losses.items():
+                val_sums[k] = val_sums.get(k, 0.0) + float(v)
+            val_n += 1
+        val = {f"validation_{k}": v / max(val_n, 1)
+               for k, v in val_sums.items()}
+        val_loss = val.get("validation_total_loss", float("inf"))
+        logger.log({"phase": "val", "epoch": epoch, **val,
+                    "epoch_seconds": time.time() - t0})
+        print(f"[trainer] epoch {epoch}: validation_loss={val_loss:.4f} "
+              f"({time.time() - t0:.0f}s, {n_steps} steps)")
+
+        ckpt.save(epoch + 1, state, metrics={"validation_loss": val_loss})
+
+        if val_loss < best_val:
+            best_val = val_loss
+            epochs_no_improve = 0
+        else:
+            epochs_no_improve += 1
+            if epochs_no_improve >= patience:
+                print(f"[trainer] early stop at epoch {epoch} "
+                      f"(patience {patience})")
+                break
+
+    return state
+
+
+def two_phase_fit(model, cfg: EgtrConfig, *, log_dir: str,
+                  lr: float, lr_backbone: float,
+                  lr_initialized: Optional[float],
+                  max_epochs: int, max_epochs_finetune: int,
+                  finetune_scale: float = 0.1, **kw) -> TrainState:
+    """Main phase then finetune at scaled LRs from the best main checkpoint
+    (train_egtr.py:790-870)."""
+    state = fit(model, cfg, log_dir=os.path.join(log_dir, "main"),
+                lr=lr, lr_backbone=lr_backbone,
+                lr_initialized=lr_initialized, max_epochs=max_epochs, **kw)
+
+    # restore best main-phase params
+    main_ckpt = CheckpointManager(os.path.join(log_dir, "main",
+                                               "checkpoints"))
+    best = main_ckpt.best_step()
+    if best is not None:
+        state = main_ckpt.restore(state, best)
+        print(f"[trainer] finetune from best main epoch {best}")
+
+    lr_init_ft = (lr_initialized * finetune_scale
+                  if lr_initialized is not None else None)
+    state = fit(model, cfg, log_dir=os.path.join(log_dir, "finetune"),
+                lr=lr * finetune_scale, lr_backbone=lr_backbone * finetune_scale,
+                lr_initialized=lr_init_ft, max_epochs=max_epochs_finetune,
+                init_params=state.params, **kw)
+    return state

@@ -7,12 +7,22 @@ devices before JAX initializes (SURVEY.md §4 test strategy).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The axon TPU-tunnel sitecustomize imports jax at interpreter startup, which
+# latches JAX_PLATFORMS=axon from the env before this file runs. Setting
+# os.environ here is too late — flip the already-imported config flag instead.
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+assert len(jax.devices()) == 8, (
+    f"tests need 8 virtual CPU devices, got {jax.devices()}")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

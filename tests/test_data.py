@@ -1,0 +1,124 @@
+"""Data pipeline tests: transforms, buckets, collate, loader, VG dataset."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from egtr_tpu.data import transforms as T
+from egtr_tpu.data.loader import Loader
+from egtr_tpu.data.visual_genome import VGDataset, vg_get_statistics
+
+
+def test_size_with_aspect_ratio_matches_torch_semantics():
+    # shortest side -> 800 capped at 1333
+    assert T.size_with_aspect_ratio(640, 480, 800, 1333) == (800, 1066)
+    # cap kicks in: 1000x300 scaled by 800/300 would give 2666 > 1333
+    oh, ow = T.size_with_aspect_ratio(1000, 300, 800, 1333)
+    assert ow == 1333 and oh == round(1333 * 300 / 1000)
+    # FPS protocol 600/1000
+    assert T.size_with_aspect_ratio(1024, 768, 600, 1000) == (600, 800)
+
+
+def test_preprocess_eval_boxes_normalized():
+    img = Image.fromarray(
+        (np.random.default_rng(0).uniform(0, 255, (480, 640, 3))
+         ).astype(np.uint8))
+    boxes = np.array([[64, 48, 320, 240]], np.float32)
+    s = T.preprocess(img, boxes, np.array([3]), np.zeros((0, 3)),
+                     train=False, size=800, max_size=1333)
+    assert s.size == (800, 1066)
+    # cxcywh normalized: box center at ((64+320)/2/640, (48+240)/2/480)
+    np.testing.assert_allclose(
+        s.boxes[0], [192 / 640, 144 / 480, 256 / 640, 192 / 480], atol=1e-6)
+    assert s.image.shape == (800, 1066, 3)
+    assert abs(float(s.image.mean())) < 1.0  # normalized
+
+
+def test_bucket_and_collate():
+    rng = np.random.default_rng(1)
+    samples = []
+    for hw in ((600, 800), (480, 640)):
+        img = Image.fromarray(rng.integers(
+            0, 255, (hw[0], hw[1], 3), dtype=np.uint8), "RGB")
+        samples.append(T.preprocess(
+            img, np.array([[10, 10, 100, 100]], np.float32), np.array([1]),
+            np.array([[0, 0, 2]]), train=False, size=600, max_size=1000))
+    bucket = T.pick_bucket(
+        max(s.image.shape[0] for s in samples),
+        max(s.image.shape[1] for s in samples), T.default_buckets(1000))
+    batch = T.collate(samples, bucket, max_gt=8, num_rel_labels=5)
+    assert batch["pixel_values"].shape[0] == 2
+    assert batch["pixel_values"].shape[1:3] == bucket
+    assert batch["labels"]["rel"].shape == (2, 8, 8, 5)
+    assert batch["labels"]["rel"][0, 0, 0, 2] == 1.0
+    assert batch["labels"]["num_boxes"].tolist() == [1, 1]
+    # mask marks only the valid region
+    h0, w0 = samples[0].image.shape[:2]
+    assert batch["pixel_mask"][0, :h0, :w0].all()
+    assert not batch["pixel_mask"][0, h0:, :].any()
+
+
+@pytest.fixture
+def vg_dir(tmp_path):
+    """Synthetic VG-format dataset: 4 images, 3 classes, 4 predicates."""
+    rng = np.random.default_rng(0)
+    d = tmp_path / "vg"
+    (d / "images").mkdir(parents=True)
+    images, annotations = [], []
+    rel = {"train": {}, "val": {},
+           "rel_categories": ["__no_relation__", "on", "under", "near",
+                              "behind"]}
+    ann_id = 1
+    for i in range(4):
+        fn = f"img{i}.jpg"
+        Image.fromarray(rng.integers(0, 255, (120, 160, 3),
+                                     dtype=np.uint8), "RGB").save(
+            d / "images" / fn)
+        images.append({"id": i + 1, "file_name": fn, "width": 160,
+                       "height": 120})
+        for j in range(3):
+            annotations.append({
+                "id": ann_id, "image_id": i + 1,
+                "bbox": [10 + 20 * j, 10, 30, 40],
+                "category_id": (j % 3) + 1, "area": 1200, "iscrowd": 0})
+            ann_id += 1
+        rel["train"][str(i + 1)] = [[0, 1, 1], [1, 2, 3]]
+        rel["val"][str(i + 1)] = [[0, 1, 1]]
+    coco = {"images": images, "annotations": annotations,
+            "categories": [{"id": 1, "name": "a"}, {"id": 2, "name": "b"},
+                           {"id": 3, "name": "c"}]}
+    for split in ("train", "val"):
+        with open(d / f"{split}.json", "w") as f:
+            json.dump(coco, f)
+    with open(d / "rel.json", "w") as f:
+        json.dump(rel, f)
+    return str(d)
+
+
+def test_vg_dataset_and_stats(vg_dir):
+    ds = VGDataset(vg_dir, "train", size=128, max_size=256)
+    assert len(ds) == 4
+    s = ds[0]
+    assert s.class_labels.tolist() == [0, 1, 2]  # category_id - 1
+    assert s.rel.shape == (2, 3)
+    assert s.rel[:, 2].tolist() == [0, 2]        # predicate - 1
+    fg = vg_get_statistics(ds)
+    assert fg.shape == (4, 4, 4)
+    # (class0 on class1): rel triple [0,1,1] -> classes (1,2) -> fg[0,1,0]
+    assert fg[0, 1, 0] == 4  # one per image
+    assert fg[1, 2, 2] == 4
+
+
+def test_loader_batches(vg_dir):
+    ds = VGDataset(vg_dir, "train", size=128, max_size=256)
+    loader = Loader(ds, batch_size=2, shuffle=True, max_gt=6,
+                    num_rel_labels=4, buckets=((144, 256),), prefetch=2)
+    batches = list(loader)
+    assert len(batches) == 2
+    for b in batches:
+        assert b["pixel_values"].shape == (2, 144, 256, 3)
+        assert b["labels"]["num_boxes"].tolist() == [3, 3]
+        assert b["labels"]["rel"].sum() == 2 * 2  # 2 rels per image
