@@ -28,7 +28,8 @@ from ..config import EgtrConfig
 from ..ops.boxes import inverse_sigmoid
 from ..ops.posenc import sine_position_embedding
 from .backbone import ResNet50
-from .layers import DecoderLayer, EncoderLayer, MLPHead, dense, default_kernel_init
+from .layers import (DecoderLayer, EncoderLayer, MLPHead, dense,
+                     default_kernel_init)
 
 
 def level_shapes(image_hw: Tuple[int, int], num_levels: int) -> Tuple[Tuple[int, int], ...]:
@@ -93,30 +94,33 @@ class DeformableDetrBase(nn.Module):
     def __call__(self, pixel_values, pixel_mask=None, deterministic: bool = True):
         cfg = self.config
         E = cfg.d_model
+        dtype = jnp.dtype(cfg.compute_dtype)
         Lv = cfg.num_feature_levels
         B, H_img, W_img, _ = pixel_values.shape
         if pixel_mask is None:
             pixel_mask = jnp.ones((B, H_img, W_img), bool)
 
         # ---- backbone (C3, C4, C5) ----
-        feats = ResNet50(name="backbone")(pixel_values)
+        feats = ResNet50(dtype=dtype, name="backbone")(pixel_values)
 
         shapes = level_shapes((H_img, W_img), Lv)
         sources, masks, pos_embeds = [], [], []
         for lvl in range(Lv):
             if lvl < len(feats):
                 x = feats[lvl]
-                src = nn.Conv(E, (1, 1), use_bias=True,
+                src = nn.Conv(E, (1, 1), use_bias=True, dtype=dtype,
                               kernel_init=nn.initializers.xavier_uniform(),
                               name=f"input_proj_{lvl}_conv")(x)
             else:
                 # extra level: stride-2 3x3 conv on C5 (deformable_detr.py:1999-2009)
                 x = feats[-1] if lvl == len(feats) else sources[-1]
-                src = nn.Conv(E, (3, 3), strides=(2, 2),
+                src = nn.Conv(E, (3, 3), strides=(2, 2), dtype=dtype,
                               padding=[(1, 1), (1, 1)], use_bias=True,
                               kernel_init=nn.initializers.xavier_uniform(),
                               name=f"input_proj_{lvl}_conv")(x)
-            src = nn.GroupNorm(num_groups=32, name=f"input_proj_{lvl}_norm")(src)
+            src = nn.GroupNorm(num_groups=32, dtype=jnp.float32,
+                               name=f"input_proj_{lvl}_norm")(src)
+            src = src.astype(dtype)
             assert src.shape[1:3] == shapes[lvl], (
                 f"level {lvl}: conv shape {src.shape[1:3]} != static {shapes[lvl]}")
             m = _resize_mask(pixel_mask, shapes[lvl])
@@ -134,7 +138,7 @@ class DeformableDetrBase(nn.Module):
             [m.reshape(B, -1) for m in masks], axis=1)           # [B,S]
         pos_flatten = jnp.concatenate(
             [p.reshape(B, -1, E) + level_embed[l][None, None]
-             for l, p in enumerate(pos_embeds)], axis=1)         # [B,S,E]
+             for l, p in enumerate(pos_embeds)], axis=1).astype(dtype)
 
         # valid ratios (deformable_detr.py:2065-2074)
         vr = []
@@ -152,7 +156,7 @@ class DeformableDetrBase(nn.Module):
             hidden = EncoderLayer(
                 E, cfg.encoder_ffn_dim, cfg.encoder_attention_heads, Lv,
                 cfg.encoder_n_points, cfg.dropout, cfg.activation_dropout,
-                name=f"encoder_layer_{i}",
+                dtype=dtype, name=f"encoder_layer_{i}",
             )(hidden, pos_flatten, enc_ref, shapes, value_mask=mask_flatten,
               deterministic=deterministic)
         encoder_hidden = hidden
@@ -168,8 +172,10 @@ class DeformableDetrBase(nn.Module):
         target = jnp.broadcast_to(target[None], (B, cfg.num_queries, E))
         reference_points = jax.nn.sigmoid(
             nn.Dense(2, kernel_init=nn.initializers.xavier_uniform(),
-                     name="reference_points")(query_pos))
+                     dtype=jnp.float32, name="reference_points")(query_pos))
         init_reference = reference_points
+        query_pos = query_pos.astype(dtype)
+        target = target.astype(dtype)
 
         # ---- detection heads (shared or per-layer clones) ----
         num_pred = cfg.decoder_layers
@@ -180,10 +186,10 @@ class DeformableDetrBase(nn.Module):
             cls = nn.Dense(
                 cfg.num_labels, kernel_init=default_kernel_init,
                 bias_init=nn.initializers.constant(cls_bias),
-                name=f"class_embed_{idx}")
+                dtype=jnp.float32, name=f"class_embed_{idx}")
             box = MLPHead(E, 4, 3, final_kernel_zero=True,
                           final_bias=(0.0, 0.0, -2.0, -2.0),
-                          name=f"bbox_embed_{idx}")
+                          dtype=jnp.float32, name=f"bbox_embed_{idx}")
             return cls, box
 
         if cfg.with_box_refine:
@@ -204,7 +210,8 @@ class DeformableDetrBase(nn.Module):
             hidden, q, k = DecoderLayer(
                 E, cfg.decoder_ffn_dim, cfg.decoder_attention_heads, Lv,
                 cfg.decoder_n_points, cfg.dropout, cfg.attention_dropout,
-                cfg.activation_dropout, name=f"decoder_layer_{i}",
+                cfg.activation_dropout, dtype=dtype,
+                name=f"decoder_layer_{i}",
             )(hidden, query_pos, encoder_hidden, ref_input, shapes,
               value_mask=mask_flatten, deterministic=deterministic)
 

@@ -81,6 +81,7 @@ class EgtrHead(nn.Module):
         """
         cfg = self.config
         E = cfg.d_model
+        dtype = jnp.dtype(cfg.compute_dtype)
         L = cfg.decoder_layers
         R = cfg.num_rel_labels
         B, _, H, Q, Dh = attention_queries.shape
@@ -94,10 +95,12 @@ class EgtrHead(nn.Module):
         ks_raw = merge_heads(attention_keys)
 
         # per-layer projections (egtr.py:196-207) + final sub/obj projections
-        qs = [dense(E, f"proj_q_{l}")(qs_raw[:, l]) for l in range(L)]
-        ks = [dense(E, f"proj_k_{l}")(ks_raw[:, l]) for l in range(L)]
-        qs.append(dense(E, "final_sub_proj")(last_hidden_state))
-        ks.append(dense(E, "final_obj_proj")(last_hidden_state))
+        qs = [dense(E, f"proj_q_{l}", dtype=dtype)(qs_raw[:, l])
+              for l in range(L)]
+        ks = [dense(E, f"proj_k_{l}", dtype=dtype)(ks_raw[:, l])
+              for l in range(L)]
+        qs.append(dense(E, "final_sub_proj", dtype=dtype)(last_hidden_state))
+        ks.append(dense(E, "final_obj_proj", dtype=dtype)(last_hidden_state))
         Qs = jnp.stack(qs, axis=2)  # [B, Q, L+1, E]
         Ks = jnp.stack(ks, axis=2)  # [B, Q, L+1, E]
 
@@ -105,25 +108,31 @@ class EgtrHead(nn.Module):
         wg = self.param("rel_predictor_gate_kernel", default_kernel_init,
                         (2 * E, 1))
         bg = self.param("rel_predictor_gate_bias", nn.initializers.zeros, (1,))
-        ga = jnp.einsum("bqle,eo->bqlo", Qs, wg[:E])[..., 0]   # [B,Q,L+1]
-        gb = jnp.einsum("bqle,eo->bqlo", Ks, wg[E:])[..., 0]   # [B,Q,L+1]
+        ga = jnp.einsum("bqle,eo->bqlo", Qs, wg[:E].astype(Qs.dtype),
+                        preferred_element_type=jnp.float32)[..., 0]
+        gb = jnp.einsum("bqle,eo->bqlo", Ks, wg[E:].astype(Ks.dtype),
+                        preferred_element_type=jnp.float32)[..., 0]
         gate = jax.nn.sigmoid(
             ga[:, :, None, :] + gb[:, None, :, :] + bg[0])     # [B,Q,Q,L+1]
         gate = maybe_constraint(gate, _PAIR_SPEC)
+        gate_c = gate.astype(dtype)
 
         # first MLP layer of rel_predictor, factorized (see module docstring)
         w1 = self.param("rel_predictor_layers_0_kernel", default_kernel_init,
                         (2 * E, E))
         b1 = self.param("rel_predictor_layers_0_bias", nn.initializers.zeros,
                         (E,))
-        Aq = jnp.einsum("bile,ed->bild", Qs, w1[:E])
-        Bk = jnp.einsum("bjle,ed->bjld", Ks, w1[E:])
-        h1 = (jnp.einsum("bijl,bild->bijd", gate, Aq)
-              + jnp.einsum("bijl,bjld->bijd", gate, Bk) + b1)
-        h1 = maybe_constraint(h1, _PAIR_SPEC)
+        Aq = jnp.einsum("bile,ed->bild", Qs, w1[:E].astype(Qs.dtype))
+        Bk = jnp.einsum("bjle,ed->bjld", Ks, w1[E:].astype(Ks.dtype))
+        h1 = (jnp.einsum("bijl,bild->bijd", gate_c, Aq.astype(dtype),
+                         preferred_element_type=jnp.float32)
+              + jnp.einsum("bijl,bjld->bijd", gate_c, Bk.astype(dtype),
+                           preferred_element_type=jnp.float32) + b1)
+        h1 = maybe_constraint(h1.astype(dtype), _PAIR_SPEC)
         h = nn.relu(h1)
-        h = nn.relu(dense(E, "rel_predictor_layers_1")(h))
-        pred_rel = dense(R, "rel_predictor_layers_2")(h)        # [B,Q,Q,R]
+        h = nn.relu(dense(E, "rel_predictor_layers_1", dtype=dtype)(h))
+        pred_rel = dense(R, "rel_predictor_layers_2",
+                         dtype=dtype)(h).astype(jnp.float32)    # [B,Q,Q,R]
 
         # frequency bias (Neural Motifs; egtr.py:405-413)
         if cfg.use_freq_bias and triplet_dist is not None:
@@ -136,13 +145,16 @@ class EgtrHead(nn.Module):
                          (2 * E, E))
         c1b = self.param("connectivity_layers_0_bias", nn.initializers.zeros,
                          (E,))
-        Cq = jnp.einsum("bile,ed->bild", Qs, c1w[:E])
-        Ck = jnp.einsum("bjle,ed->bjld", Ks, c1w[E:])
-        c1 = (jnp.einsum("bijl,bild->bijd", gate, Cq)
-              + jnp.einsum("bijl,bjld->bijd", gate, Ck) + c1b)
-        c = nn.relu(c1)
-        c = nn.relu(dense(E, "connectivity_layers_1")(c))
-        pred_connectivity = dense(1, "connectivity_layers_2")(c)  # [B,Q,Q,1]
+        Cq = jnp.einsum("bile,ed->bild", Qs, c1w[:E].astype(Qs.dtype))
+        Ck = jnp.einsum("bjle,ed->bjld", Ks, c1w[E:].astype(Ks.dtype))
+        c1 = (jnp.einsum("bijl,bild->bijd", gate_c, Cq.astype(dtype),
+                         preferred_element_type=jnp.float32)
+              + jnp.einsum("bijl,bjld->bijd", gate_c, Ck.astype(dtype),
+                           preferred_element_type=jnp.float32) + c1b)
+        c = nn.relu(c1.astype(dtype))
+        c = nn.relu(dense(E, "connectivity_layers_1", dtype=dtype)(c))
+        pred_connectivity = dense(1, "connectivity_layers_2",
+                                  dtype=dtype)(c).astype(jnp.float32)
 
         rel_gate_mean = gate.mean(axis=(0, 1, 2))  # [L+1] for logging
 

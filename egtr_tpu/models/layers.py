@@ -30,9 +30,16 @@ default_kernel_init = nn.initializers.normal(stddev=0.02)
 
 
 def dense(features: int, name: str, kernel_init=default_kernel_init,
-          bias_init=nn.initializers.zeros):
+          bias_init=nn.initializers.zeros, dtype=None):
     return nn.Dense(features, kernel_init=kernel_init, bias_init=bias_init,
-                    name=name)
+                    dtype=dtype, name=name)
+
+
+def layer_norm(x, name: str, dtype=None):
+    """LayerNorm with fp32 statistics; output cast back to the compute
+    dtype (standard bf16-training practice)."""
+    y = nn.LayerNorm(dtype=jnp.float32, name=name)(x)
+    return y.astype(dtype) if dtype is not None else y.astype(x.dtype)
 
 
 class MLPHead(nn.Module):
@@ -48,11 +55,13 @@ class MLPHead(nn.Module):
     num_layers: int = 3
     final_kernel_zero: bool = False
     final_bias: Optional[Tuple[float, ...]] = None
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x):
         for i in range(self.num_layers - 1):
-            x = nn.relu(dense(self.hidden_dim, f"layers_{i}")(x))
+            x = nn.relu(dense(self.hidden_dim, f"layers_{i}",
+                              dtype=self.dtype)(x))
         if self.final_kernel_zero:
             kinit = nn.initializers.zeros
         else:
@@ -63,6 +72,7 @@ class MLPHead(nn.Module):
         else:
             binit = nn.initializers.zeros
         return nn.Dense(self.output_dim, kernel_init=kinit, bias_init=binit,
+                        dtype=self.dtype,
                         name=f"layers_{self.num_layers - 1}")(x)
 
 
@@ -77,6 +87,7 @@ class MultiheadAttention(nn.Module):
     embed_dim: int
     num_heads: int
     dropout: float = 0.0
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, hidden_states, position_embeddings=None,
@@ -89,9 +100,9 @@ class MultiheadAttention(nn.Module):
         hs_pos = hidden_states if position_embeddings is None else (
             hidden_states + position_embeddings
         )
-        q = dense(E, "q_proj")(hs_pos) * scaling
-        k = dense(E, "k_proj")(hs_pos)
-        v = dense(E, "v_proj")(hidden_states)
+        q = dense(E, "q_proj", dtype=self.dtype)(hs_pos) * scaling
+        k = dense(E, "k_proj", dtype=self.dtype)(hs_pos)
+        v = dense(E, "v_proj", dtype=self.dtype)(hidden_states)
 
         def shape(t):  # [B,Q,E] -> [B,H,Q,Dh]
             return t.reshape(B, Q, H, Dh).transpose(0, 2, 1, 3)
@@ -99,13 +110,13 @@ class MultiheadAttention(nn.Module):
         qh, kh, vh = shape(q), shape(k), shape(v)
         attn = jnp.einsum("bhqd,bhkd->bhqk", qh, kh,
                           preferred_element_type=jnp.float32)
-        attn = jax.nn.softmax(attn, axis=-1).astype(hidden_states.dtype)
+        attn = jax.nn.softmax(attn, axis=-1).astype(q.dtype)
         if self.dropout > 0.0 and not deterministic:
             attn = nn.Dropout(rate=self.dropout)(attn, deterministic=False)
         out = jnp.einsum("bhqk,bhkd->bhqd", attn, vh,
                          preferred_element_type=jnp.float32)
-        out = out.astype(hidden_states.dtype).transpose(0, 2, 1, 3).reshape(B, Q, E)
-        out = dense(E, "out_proj")(out)
+        out = out.astype(q.dtype).transpose(0, 2, 1, 3).reshape(B, Q, E)
+        out = dense(E, "out_proj", dtype=self.dtype)(out)
         return out, qh, kh
 
 
@@ -137,6 +148,7 @@ class MSDeformableAttention(nn.Module):
     num_heads: int
     n_levels: int
     n_points: int
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(
@@ -157,7 +169,7 @@ class MSDeformableAttention(nn.Module):
             hidden_states + position_embeddings
         )
 
-        value = dense(E, "value_proj",
+        value = dense(E, "value_proj", dtype=self.dtype,
                       kernel_init=nn.initializers.xavier_uniform())(
             encoder_hidden_states)
         if value_mask is not None:
@@ -166,11 +178,13 @@ class MSDeformableAttention(nn.Module):
 
         offsets = nn.Dense(
             H * L * P * 2, kernel_init=nn.initializers.zeros,
-            bias_init=_msda_offset_bias_init(H, L, P), name="sampling_offsets",
+            bias_init=_msda_offset_bias_init(H, L, P), dtype=jnp.float32,
+            name="sampling_offsets",
         )(hs).reshape(B, Q, H, L, P, 2)
         weights = nn.Dense(
             H * L * P, kernel_init=nn.initializers.zeros,
-            bias_init=nn.initializers.zeros, name="attention_weights",
+            bias_init=nn.initializers.zeros, dtype=jnp.float32,
+            name="attention_weights",
         )(hs).reshape(B, Q, H, L * P)
         weights = jax.nn.softmax(weights, axis=-1).reshape(B, Q, H, L, P)
 
@@ -186,8 +200,10 @@ class MSDeformableAttention(nn.Module):
         else:
             raise ValueError("reference_points last dim must be 2 or 4")
 
-        out = ms_deform_attn(value, tuple(spatial_shapes), loc, weights)
-        out = dense(E, "output_proj",
+        out = ms_deform_attn(
+            value, tuple(spatial_shapes), loc,
+            weights.astype(value.dtype))
+        out = dense(E, "output_proj", dtype=self.dtype,
                     kernel_init=nn.initializers.xavier_uniform())(out)
         return out
 
@@ -202,6 +218,7 @@ class EncoderLayer(nn.Module):
     n_points: int
     dropout: float = 0.1
     activation_dropout: float = 0.0
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, hidden_states, position_embeddings, reference_points,
@@ -209,21 +226,23 @@ class EncoderLayer(nn.Module):
         residual = hidden_states
         hidden_states = MSDeformableAttention(
             self.d_model, self.num_heads, self.n_levels, self.n_points,
-            name="self_attn",
+            dtype=self.dtype, name="self_attn",
         )(hidden_states, hidden_states, reference_points, spatial_shapes,
           position_embeddings=position_embeddings, value_mask=value_mask)
         hidden_states = nn.Dropout(self.dropout)(hidden_states, deterministic)
-        hidden_states = nn.LayerNorm(name="self_attn_layer_norm")(
-            residual + hidden_states)
+        hidden_states = layer_norm(residual + hidden_states,
+                                   "self_attn_layer_norm", self.dtype)
 
         residual = hidden_states
-        hidden_states = nn.relu(dense(self.ffn_dim, "fc1")(hidden_states))
+        hidden_states = nn.relu(dense(self.ffn_dim, "fc1",
+                                      dtype=self.dtype)(hidden_states))
         hidden_states = nn.Dropout(self.activation_dropout)(
             hidden_states, deterministic)
-        hidden_states = dense(self.d_model, "fc2")(hidden_states)
+        hidden_states = dense(self.d_model, "fc2",
+                              dtype=self.dtype)(hidden_states)
         hidden_states = nn.Dropout(self.dropout)(hidden_states, deterministic)
-        hidden_states = nn.LayerNorm(name="final_layer_norm")(
-            residual + hidden_states)
+        hidden_states = layer_norm(residual + hidden_states,
+                                   "final_layer_norm", self.dtype)
         return hidden_states
 
 
@@ -242,6 +261,7 @@ class DecoderLayer(nn.Module):
     dropout: float = 0.1
     attention_dropout: float = 0.0
     activation_dropout: float = 0.0
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, hidden_states, query_pos, encoder_hidden_states,
@@ -250,30 +270,32 @@ class DecoderLayer(nn.Module):
         residual = hidden_states
         hidden_states, q, k = MultiheadAttention(
             self.d_model, self.num_heads, self.attention_dropout,
-            name="self_attn",
+            dtype=self.dtype, name="self_attn",
         )(hidden_states, position_embeddings=query_pos,
           deterministic=deterministic)
         hidden_states = nn.Dropout(self.dropout)(hidden_states, deterministic)
-        hidden_states = nn.LayerNorm(name="self_attn_layer_norm")(
-            residual + hidden_states)
+        hidden_states = layer_norm(residual + hidden_states,
+                                   "self_attn_layer_norm", self.dtype)
 
         residual = hidden_states
         hidden_states = MSDeformableAttention(
             self.d_model, self.num_heads, self.n_levels, self.n_points,
-            name="encoder_attn",
+            dtype=self.dtype, name="encoder_attn",
         )(hidden_states, encoder_hidden_states, reference_points,
           spatial_shapes, position_embeddings=query_pos,
           value_mask=value_mask)
         hidden_states = nn.Dropout(self.dropout)(hidden_states, deterministic)
-        hidden_states = nn.LayerNorm(name="encoder_attn_layer_norm")(
-            residual + hidden_states)
+        hidden_states = layer_norm(residual + hidden_states,
+                                   "encoder_attn_layer_norm", self.dtype)
 
         residual = hidden_states
-        hidden_states = nn.relu(dense(self.ffn_dim, "fc1")(hidden_states))
+        hidden_states = nn.relu(dense(self.ffn_dim, "fc1",
+                                      dtype=self.dtype)(hidden_states))
         hidden_states = nn.Dropout(self.activation_dropout)(
             hidden_states, deterministic)
-        hidden_states = dense(self.d_model, "fc2")(hidden_states)
+        hidden_states = dense(self.d_model, "fc2",
+                              dtype=self.dtype)(hidden_states)
         hidden_states = nn.Dropout(self.dropout)(hidden_states, deterministic)
-        hidden_states = nn.LayerNorm(name="final_layer_norm")(
-            residual + hidden_states)
+        hidden_states = layer_norm(residual + hidden_states,
+                                   "final_layer_norm", self.dtype)
         return hidden_states, q, k

@@ -1,0 +1,149 @@
+"""Evaluator tests: recall semantics, COCO mAP protocol, OI pipeline."""
+
+import numpy as np
+
+from egtr_tpu.evaluation.coco_map import CocoMAP
+from egtr_tpu.evaluation.oi_eval import OIEvaluator, boxes_union, get_ap
+from egtr_tpu.evaluation.sg_eval import (
+    SceneGraphEvaluator, argsort_desc, bbox_overlaps_plus1, intersect_2d)
+
+
+def test_argsort_desc():
+    x = np.array([[3.0, 1.0], [2.0, 5.0]])
+    idx = argsort_desc(x)
+    np.testing.assert_array_equal(idx[0], [1, 1])  # 5.0
+    np.testing.assert_array_equal(idx[1], [0, 0])  # 3.0
+
+
+def test_intersect_2d():
+    a = np.array([[1, 2, 3], [4, 5, 6]])
+    b = np.array([[4, 5, 6], [1, 2, 3], [7, 8, 9]])
+    m = intersect_2d(a, b)
+    assert m[0].tolist() == [False, True, False]
+    assert m[1].tolist() == [True, False, False]
+
+
+def test_sg_recall_perfect_prediction():
+    ev = SceneGraphEvaluator(multiple_preds=True)
+    gt_boxes = np.array([[0, 0, 50, 50], [100, 100, 160, 160],
+                         [30, 30, 90, 90]], float)
+    gt_classes = np.array([2, 5, 7])
+    gt_rels = np.array([[0, 1, 3], [1, 2, 0]])
+    # predictions: same boxes/classes, correct triples first
+    pred_entry = {
+        "pred_boxes": gt_boxes,
+        "pred_classes": gt_classes,
+        "obj_scores": np.ones(3),
+        "pred_rel_inds": np.array([[0, 1, 3], [1, 2, 0], [0, 2, 1]]),
+        "rel_scores": np.array([0.9, 0.8, 0.1]),
+    }
+    ev.evaluate_entry({"gt_relations": gt_rels, "gt_boxes": gt_boxes,
+                       "gt_classes": gt_classes}, pred_entry)
+    res = ev.aggregate()
+    assert res["R@20"] == 1.0 and res["R@100"] == 1.0
+
+
+def test_sg_recall_graph_constraint_argmax():
+    ev = SceneGraphEvaluator(multiple_preds=False)
+    gt_boxes = np.array([[0, 0, 50, 50], [100, 100, 160, 160]], float)
+    gt_classes = np.array([2, 5])
+    gt_rels = np.array([[0, 1, 3]])
+    rel_vec = np.zeros((1, 6))
+    rel_vec[0, 2] = 0.9  # argmax predicate = 2, but GT is 3 -> no match
+    pred_entry = {
+        "pred_boxes": gt_boxes, "pred_classes": gt_classes,
+        "obj_scores": np.ones(2),
+        "pred_rel_inds": np.array([[0, 1]]),
+        "rel_scores": rel_vec,
+    }
+    ev.evaluate_entry({"gt_relations": gt_rels, "gt_boxes": gt_boxes,
+                       "gt_classes": gt_classes}, pred_entry)
+    assert ev.aggregate()["R@20"] == 0.0
+
+
+def test_bbox_overlaps_plus1_shifted_box():
+    a = np.array([[0, 0, 9, 9]], float)    # 10x10 under +1 convention
+    b = np.array([[5, 0, 14, 9]], float)   # overlap 5x10 = 50
+    iou = bbox_overlaps_plus1(a, b)[0, 0]
+    np.testing.assert_allclose(iou, 50 / 150)
+
+
+def test_coco_map_perfect_detection():
+    m = CocoMAP([1, 2])
+    gt = dict(boxes=np.array([[10, 10, 60, 60], [80, 80, 140, 140]], float),
+              labels=np.array([1, 2]))
+    det = dict(boxes=gt["boxes"], labels=gt["labels"],
+               scores=np.array([0.9, 0.8]))
+    m.add_image(0, gt, det)
+    stats = m.accumulate()
+    assert stats["AP"] == 1.0 and stats["AP50"] == 1.0
+    assert stats["AR@100"] == 1.0
+
+
+def test_coco_map_half_right():
+    m = CocoMAP([1])
+    gt = dict(boxes=np.array([[10, 10, 60, 60], [80, 80, 140, 140]], float),
+              labels=np.array([1, 1]))
+    # one perfect det + one total miss, plus a false positive
+    det = dict(
+        boxes=np.array([[10, 10, 60, 60], [200, 200, 220, 220]], float),
+        labels=np.array([1, 1]), scores=np.array([0.9, 0.8]))
+    m.add_image(0, gt, det)
+    stats = m.accumulate()
+    # recall 0.5 at precision 1 then precision drops: AP = 0.5 (101-pt)
+    assert 0.45 < stats["AP50"] <= 0.51
+    assert stats["AR@100"] == 0.5
+
+
+def test_coco_map_localization_threshold():
+    m = CocoMAP([1])
+    gt = dict(boxes=np.array([[0, 0, 100, 100]], float),
+              labels=np.array([1]))
+    # IoU ~ 0.6: passes 0.5/0.55/0.6 thresholds only
+    det = dict(boxes=np.array([[0, 0, 100, 60]], float),
+               labels=np.array([1]), scores=np.array([0.9]))
+    m.add_image(0, gt, det)
+    stats = m.accumulate()
+    assert stats["AP50"] == 1.0
+    assert stats["AP75"] == 0.0
+    np.testing.assert_allclose(stats["AP"], 3 / 10, atol=1e-6)
+
+
+def test_get_ap_simple():
+    # single det, correct: rec [1], prec [1] -> AP 1
+    assert get_ap(np.array([1.0]), np.array([1.0])) == 1.0
+
+
+def test_boxes_union():
+    u = boxes_union(np.array([[0, 0, 10, 10]], float),
+                    np.array([[5, 5, 20, 8]], float))
+    np.testing.assert_array_equal(u[0], [0, 0, 20, 10])
+
+
+def test_oi_evaluator_end_to_end():
+    rng = np.random.default_rng(0)
+    ev = OIEvaluator(rel_categories=[f"r{i}" for i in range(4)],
+                     ind_to_classes=[f"c{i}" for i in range(5)])
+    Q = 6
+    boxes = rng.uniform(0, 200, (Q, 4))
+    boxes[:, 2:] = boxes[:, :2] + 50
+    classes = rng.integers(0, 5, Q)
+    scores = rng.uniform(0.5, 1, Q)
+    so = np.array([(i, j) for i in range(Q) for j in range(Q)])
+    pred_scores = rng.uniform(0, 1, (Q * Q, 4))
+    gt_entry = {
+        "gt_boxes": boxes[:3], "gt_classes": classes[:3],
+        "gt_relations": np.array([[0, 1, 2], [1, 2, 0]]),
+    }
+    pred_entry = {
+        "pred_boxes": boxes, "pred_classes": classes, "obj_scores": scores,
+        "sbj_obj_inds": so, "pred_scores": pred_scores,
+    }
+    ev(gt_entry, pred_entry)
+    out = ev.aggregate_metrics()
+    for k in ("w_rel_mAP", "w_phr_mAP", "microR@50", "score", "bbox/AP50"):
+        assert k in out
+        assert np.isfinite(out[k])
+    # predictions contain the GT boxes with matching classes; micro recall
+    # should be positive since all Q^2 pairs are scored
+    assert out["microR@50"] > 0
