@@ -31,6 +31,7 @@ def sgg_postprocess(logits, pred_boxes, pred_rel, pred_connectivity,
     """
     B, Q, _ = logits.shape
     R = pred_rel.shape[-1]
+    top_k = min(top_k, Q * Q)  # tiny-config guard
 
     probs = jax.nn.softmax(logits, axis=-1)[..., :num_labels]
     obj_scores = probs.max(-1)                        # [B,Q]
