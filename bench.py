@@ -34,7 +34,7 @@ def main():
     from egtr_tpu.evaluation.postprocess import sgg_postprocess
 
     cfg = EgtrConfig(num_queries=200, num_labels=150, num_rel_labels=50,
-                     dropout=0.0)
+                     dropout=0.0, compute_dtype="bfloat16")
     model = EgtrModel(cfg)
 
     # FPS-protocol shape: 600x1000 -> bucket 608x1008 (static)

@@ -58,6 +58,20 @@ def _triplet(predicates, relations, classes, boxes):
 
 def _compute_pred_matches(gt_triplets, pred_triplets, gt_boxes, pred_boxes,
                           iou_thresh: float, phrdet: bool) -> List[List[int]]:
+    # native C++ fast path (egtr_tpu/native/bbox_kernels.cpp)
+    try:
+        from ..native import triplet_matches as _native_matches
+        dense = _native_matches(gt_triplets, gt_boxes, pred_triplets,
+                                pred_boxes, iou_thresh, phrdet)
+    except Exception:
+        dense = None
+    if dense is not None:
+        gs, ps = np.nonzero(dense)
+        pred_to_gt: List[List[int]] = [[] for _ in range(pred_boxes.shape[0])]
+        for g, p in zip(gs, ps):
+            pred_to_gt[p].append(int(g))
+        return pred_to_gt
+
     keeps = intersect_2d(gt_triplets, pred_triplets)
     gt_has_match = keeps.any(1)
     pred_to_gt: List[List[int]] = [[] for _ in range(pred_boxes.shape[0])]
