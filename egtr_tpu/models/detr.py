@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 from ..config import EgtrConfig
 from ..ops.boxes import inverse_sigmoid
-from ..ops.posenc import sine_position_embedding
+from ..ops.posenc import sine_position_embedding, sine_position_embedding_full
 from .backbone import ResNet50
 from .layers import (DecoderLayer, EncoderLayer, MLPHead, dense,
                      default_kernel_init)
@@ -97,8 +97,9 @@ class DeformableDetrBase(nn.Module):
         dtype = jnp.dtype(cfg.compute_dtype)
         Lv = cfg.num_feature_levels
         B, H_img, W_img, _ = pixel_values.shape
-        if pixel_mask is None:
-            pixel_mask = jnp.ones((B, H_img, W_img), bool)
+        # mask-free fast path: batch-1 inference on unpadded buckets skips
+        # value masking, mask cumsums and valid-ratio arithmetic entirely
+        no_mask = pixel_mask is None
 
         # ---- backbone (C3, C4, C5) ----
         feats = ResNet50(dtype=dtype, name="backbone")(pixel_values)
@@ -123,8 +124,14 @@ class DeformableDetrBase(nn.Module):
             src = src.astype(dtype)
             assert src.shape[1:3] == shapes[lvl], (
                 f"level {lvl}: conv shape {src.shape[1:3]} != static {shapes[lvl]}")
-            m = _resize_mask(pixel_mask, shapes[lvl])
-            pe = sine_position_embedding(m, E // 2)
+            if no_mask:
+                m = None
+                pe = jnp.broadcast_to(
+                    sine_position_embedding_full(shapes[lvl], E // 2),
+                    (B,) + shapes[lvl] + (E,))
+            else:
+                m = _resize_mask(pixel_mask, shapes[lvl])
+                pe = sine_position_embedding(m, E // 2)
             sources.append(src)
             masks.append(m)
             pos_embeds.append(pe)
@@ -134,20 +141,23 @@ class DeformableDetrBase(nn.Module):
 
         source_flatten = jnp.concatenate(
             [s.reshape(B, -1, E) for s in sources], axis=1)      # [B,S,E]
-        mask_flatten = jnp.concatenate(
+        mask_flatten = None if no_mask else jnp.concatenate(
             [m.reshape(B, -1) for m in masks], axis=1)           # [B,S]
         pos_flatten = jnp.concatenate(
             [p.reshape(B, -1, E) + level_embed[l][None, None]
              for l, p in enumerate(pos_embeds)], axis=1).astype(dtype)
 
         # valid ratios (deformable_detr.py:2065-2074)
-        vr = []
-        for m in masks:
-            valid_h = m[:, :, 0].sum(axis=1).astype(jnp.float32)
-            valid_w = m[:, 0, :].sum(axis=1).astype(jnp.float32)
-            vr.append(jnp.stack(
-                [valid_w / m.shape[2], valid_h / m.shape[1]], axis=-1))
-        valid_ratios = jnp.stack(vr, axis=1)                     # [B,L,2]
+        if no_mask:
+            valid_ratios = jnp.ones((B, Lv, 2), jnp.float32)
+        else:
+            vr = []
+            for m in masks:
+                valid_h = m[:, :, 0].sum(axis=1).astype(jnp.float32)
+                valid_w = m[:, 0, :].sum(axis=1).astype(jnp.float32)
+                vr.append(jnp.stack(
+                    [valid_w / m.shape[2], valid_h / m.shape[1]], axis=-1))
+            valid_ratios = jnp.stack(vr, axis=1)                 # [B,L,2]
 
         # ---- encoder ----
         enc_ref = encoder_reference_points(shapes, valid_ratios)

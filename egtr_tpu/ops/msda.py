@@ -1,4 +1,4 @@
-"""Multi-scale deformable attention — pure-JAX core.
+"""Multi-scale deformable attention — pure-JAX core, TPU-tuned.
 
 TPU-native re-design of the reference CUDA kernel
 (model/custom_kernel/cuda/ms_deform_im2col_cuda.cuh:237-299) and its debug
@@ -10,10 +10,22 @@ False)`` with grid ``2*loc-1``); bilinear interpolation with zero padding
 outside the feature map. Attention weights are already softmaxed over
 (levels x points).
 
+Performance design (v5e profile-driven): XLA's row-gather of 64-byte
+[D=32] rows runs at ~1% of HBM bandwidth and dominated the whole model
+(~260ms/img at 600x1000). Instead, each sample point fetches ONE 2x2xD
+patch via ``lax.gather`` with ``slice_sizes=(2,2,D)`` (XLA clamps the patch
+start in-bounds), and the bilinear + zero-padding is applied afterwards with
+hat weights evaluated at the *clamped* patch corner coordinates:
+
+    w(r,c) = relu(1 - |iy - y_r|) * relu(1 - |ix - x_c|)
+
+For in-bounds samples the clamped patch equals the true corner patch, so
+hat weights ARE the bilinear weights; for out-of-bounds samples the hat
+evaluates to zero exactly where grid_sample's zero padding drops the
+contribution — bit-equal results with 4x fewer, 4x larger gathers.
+
 Spatial shapes are STATIC (python tuple) — images are padded to bucketed
-shapes so the whole model compiles once per bucket. This turns all level
-slicing/offsets into compile-time constants, which is what lets XLA lay the
-gathers out efficiently.
+shapes so the whole model compiles once per bucket.
 
 Shapes:
     value:              [B, S, H, D]   (S = sum of h*w over levels)
@@ -28,50 +40,26 @@ from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 
-def _gather_level(value_l, ix, iy, w, h):
-    """Bilinear sample one level.
+def _patch_gather(value_l, y0, x0, h: int, w: int):
+    """Gather 2x2xD patches. value_l: [B,H,h,w,D]; y0/x0: [B,H,N] int32.
+    Returns [B,H,N,2,2,D]. Starts are clamped in-bounds by XLA."""
+    D = value_l.shape[-1]
+    starts = jnp.stack([y0, x0], axis=-1)  # [B,H,N,2]
 
-    value_l: [B, S_l, H, D] flattened (row-major y*w + x)
-    ix, iy:  [B, Q, H, P] pixel-space (already loc*size-0.5)
-    returns  [B, Q, H, P, D]
-    """
-    x0 = jnp.floor(ix)
-    y0 = jnp.floor(iy)
-    # corner integer coords
-    x0i = x0.astype(jnp.int32)
-    y0i = y0.astype(jnp.int32)
-    # bilinear lambdas
-    lx = ix - x0
-    ly = iy - y0
-    hx = 1.0 - lx
-    hy = 1.0 - ly
+    dnums = lax.GatherDimensionNumbers(
+        offset_dims=(1, 2, 3),
+        collapsed_slice_dims=(),
+        start_index_map=(0, 1),
+    )
 
-    B, S_l, H, D = value_l.shape
-    # [B, H, S_l, D] so we can gather along axis=2 per head
-    v = jnp.swapaxes(value_l, 1, 2)
+    def one(v, s):  # v: [h,w,D], s: [N,2]
+        return lax.gather(v, s, dnums, slice_sizes=(2, 2, D),
+                          mode=lax.GatherScatterMode.CLIP)
 
-    def corner(xc, yc, wgt):
-        # validity under zero padding
-        valid = (xc >= 0) & (xc < w) & (yc >= 0) & (yc < h)
-        idx = jnp.clip(yc, 0, h - 1) * w + jnp.clip(xc, 0, w - 1)  # [B,Q,H,P]
-        idx = jnp.swapaxes(idx, 1, 2)  # [B,H,Q,P]
-        Bq = idx.shape
-        flat = idx.reshape(B, H, -1)  # [B,H,Q*P]
-        g = jnp.take_along_axis(v, flat[..., None], axis=2)  # [B,H,Q*P,D]
-        g = g.reshape(B, H, Bq[2], Bq[3], D)  # [B,H,Q,P,D]
-        wgt = jnp.where(valid, wgt, 0.0)  # [B,Q,H,P]
-        wgt = jnp.swapaxes(wgt, 1, 2)[..., None]  # [B,H,Q,P,1]
-        return g * wgt
-
-    out = (
-        corner(x0i, y0i, hx * hy)
-        + corner(x0i + 1, y0i, lx * hy)
-        + corner(x0i, y0i + 1, hx * ly)
-        + corner(x0i + 1, y0i + 1, lx * ly)
-    )  # [B,H,Q,P,D]
-    return jnp.swapaxes(out, 1, 2)  # [B,Q,H,P,D]
+    return jax.vmap(jax.vmap(one))(value_l, starts)
 
 
 def ms_deform_attn(
@@ -80,12 +68,7 @@ def ms_deform_attn(
     sampling_locations: jax.Array,
     attention_weights: jax.Array,
 ) -> jax.Array:
-    """Pure-JAX multi-scale deformable attention (forward; differentiable).
-
-    Gradients flow through bilinear weights to value, sampling_locations and
-    attention_weights, matching the CUDA col2im backward
-    (ms_deform_im2col_cuda.cuh:301-922) semantics via JAX autodiff.
-    """
+    """Pure-JAX multi-scale deformable attention (forward; differentiable)."""
     B, S, H, D = value.shape
     _, Q, _, L, P, _ = sampling_locations.shape
     assert L == len(spatial_shapes)
@@ -94,12 +77,47 @@ def ms_deform_attn(
     out = jnp.zeros((B, Q, H, D), dtype=jnp.float32)
     start = 0
     for lid, (h, w) in enumerate(spatial_shapes):
-        value_l = jax.lax.slice_in_dim(value, start, start + h * w, axis=1)
-        loc = sampling_locations[:, :, :, lid]  # [B,Q,H,P,2]
-        ix = loc[..., 0] * w - 0.5
-        iy = loc[..., 1] * h - 0.5
-        sampled = _gather_level(value_l, ix, iy, w, h)  # [B,Q,H,P,D]
-        aw = attention_weights[:, :, :, lid][..., None]  # [B,Q,H,P,1]
-        out = out + (sampled * aw).sum(axis=3).astype(jnp.float32)
+        value_l = lax.slice_in_dim(value, start, start + h * w, axis=1)
+        # [B, h*w, H, D] -> [B, H, h, w, D]
+        value_l = value_l.reshape(B, h, w, H, D).transpose(0, 3, 1, 2, 4)
+        if h < 2 or w < 2:
+            # degenerate level: zero-pad to 2x2 so the patch gather is legal;
+            # hat weights at padded corners hit zeros (exact zero-padding)
+            value_l = jnp.pad(value_l, ((0, 0), (0, 0), (0, max(2 - h, 0)),
+                                        (0, max(2 - w, 0)), (0, 0)))
+
+        loc = sampling_locations[:, :, :, lid]          # [B,Q,H,P,2]
+        ix = loc[..., 0].astype(jnp.float32) * w - 0.5  # [B,Q,H,P]
+        iy = loc[..., 1].astype(jnp.float32) * h - 0.5
+        x0 = jnp.floor(ix).astype(jnp.int32)
+        y0 = jnp.floor(iy).astype(jnp.int32)
+
+        # clamped patch start (what the gather actually reads)
+        y0c = jnp.clip(y0, 0, max(h - 2, 0))
+        x0c = jnp.clip(x0, 0, max(w - 2, 0))
+
+        def bhn(t):  # [B,Q,H,P] -> [B,H,Q*P]
+            return t.transpose(0, 2, 1, 3).reshape(B, H, Q * P)
+
+        patches = _patch_gather(value_l, bhn(y0c), bhn(x0c), h, w)
+        # [B,H,N,2,2,D] -> [B,Q,H,P,2,2,D]
+        patches = patches.reshape(B, H, Q, P, 2, 2, D).transpose(
+            0, 2, 1, 3, 4, 5, 6)
+
+        # hat weights at the clamped corner coordinates reproduce bilinear
+        # + zero padding exactly (see module docstring)
+        ry = jnp.stack([y0c, y0c + 1], axis=-1).astype(jnp.float32)  # [B,Q,H,P,2]
+        rx = jnp.stack([x0c, x0c + 1], axis=-1).astype(jnp.float32)
+        wy = jnp.maximum(0.0, 1.0 - jnp.abs(iy[..., None] - ry))
+        wx = jnp.maximum(0.0, 1.0 - jnp.abs(ix[..., None] - rx))
+        wcorner = wy[..., :, None] * wx[..., None, :]    # [B,Q,H,P,2,2]
+
+        aw = attention_weights[:, :, :, lid].astype(jnp.float32)  # [B,Q,H,P]
+        wfull = (wcorner * aw[..., None, None]).astype(dtype)
+        # elementwise multiply + reduce (VPU) — do NOT let this become a
+        # dot_general over the tiny (2,2) dims, and keep the big patch
+        # tensor in the compute dtype (no 13M-element converts)
+        weighted = (patches * wfull[..., None]).sum(axis=(3, 4, 5))
+        out = out + weighted.astype(jnp.float32)
         start += h * w
     return out.reshape(B, Q, H * D).astype(dtype)
