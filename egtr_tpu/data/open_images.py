@@ -26,7 +26,7 @@ class OIDataset:
                  filter_multiple_rels: bool = False,
                  num_object_queries: int = 200,
                  size: int = 800, max_size: int = 1333, debug: bool = False,
-                 seed: int = 42):
+                 seed: int = 42, use_crop: bool = False):
         assert split in {"train", "val", "test"}
         self.data_folder = data_folder
         self.img_dir = os.path.join(data_folder, "images")
@@ -35,6 +35,7 @@ class OIDataset:
         self.size = size
         self.max_size = max_size
         self.rng = np.random.default_rng(seed)
+        self.use_crop = use_crop
 
         with open(os.path.join(
                 data_folder, "annotations", f"vrd-{split}-anno.json")) as f:
@@ -89,7 +90,8 @@ class OIDataset:
 
         return preprocess(
             img, boxes, labels, rel, train=self.train_aug, rng=self.rng,
-            size=self.size, max_size=self.max_size, image_id=idx)
+            size=self.size, max_size=self.max_size, image_id=idx,
+            use_crop=self.use_crop)
 
 
 def oi_get_statistics(dataset: OIDataset) -> np.ndarray:

@@ -68,6 +68,36 @@ def _resize_image_and_boxes(img: Image.Image, boxes_xyxy: np.ndarray,
     return img, boxes_xyxy
 
 
+def _random_size_crop(img: Image.Image, boxes_xyxy, class_labels, rel,
+                      rng, min_size: int = 384, max_size: int = 600):
+    """DETR RandomSizeCrop (model/transform.py:170-179 + crop():19-59):
+    random region, boxes translated+clamped, zero-area boxes removed.
+    Relations are re-indexed; triples referencing removed boxes drop."""
+    w = int(rng.integers(min_size, min(img.width, max_size) + 1)) \
+        if min(img.width, max_size) >= min_size else img.width
+    h = int(rng.integers(min_size, min(img.height, max_size) + 1)) \
+        if min(img.height, max_size) >= min_size else img.height
+    i = int(rng.integers(0, img.height - h + 1))
+    j = int(rng.integers(0, img.width - w + 1))
+    img = img.crop((j, i, j + w, i + h))
+    if len(boxes_xyxy):
+        b = boxes_xyxy - np.array([j, i, j, i], np.float32)
+        b = np.minimum(b.reshape(-1, 2, 2), np.array([w, h], np.float32))
+        b = np.clip(b, 0, None).reshape(-1, 4)
+        keep = (b[:, 2] > b[:, 0]) & (b[:, 3] > b[:, 1])
+        boxes_xyxy = b[keep]
+        class_labels = np.asarray(class_labels)[keep]
+        # remap relation indices to the kept set
+        old_to_new = -np.ones(len(keep), np.int32)
+        old_to_new[keep] = np.arange(int(keep.sum()), dtype=np.int32)
+        if len(rel):
+            rel = np.asarray(rel).reshape(-1, 3)
+            s, o = old_to_new[rel[:, 0]], old_to_new[rel[:, 1]]
+            ok = (s >= 0) & (o >= 0)
+            rel = np.stack([s[ok], o[ok], rel[ok, 2]], 1)
+    return img, boxes_xyxy, class_labels, rel
+
+
 def _hflip(img: Image.Image, boxes_xyxy: np.ndarray):
     w = img.size[0]
     img = img.transpose(Image.FLIP_LEFT_RIGHT)
@@ -90,12 +120,16 @@ def preprocess(
     size: int = 800,
     max_size: int = 1333,
     image_id: int = -1,
+    use_crop: bool = False,
 ) -> Sample:
     """Resize (+ train-time augment) one image and its annotations.
 
-    Train path mirrors DeformableDetrFeatureExtractorWithAugmentorNoCrop
-    (deformable_detr.py:355-385): hflip(p=.5) then either a random DETR-scale
-    resize or a 400/500/600 downscale followed by a DETR-scale resize.
+    Train path mirrors DeformableDetrFeatureExtractorWithAugmentor[NoCrop]
+    (deformable_detr.py:322-385): hflip(p=.5) then either a random DETR-scale
+    resize or a 400/500/600 downscale, [RandomSizeCrop(384,600) when
+    ``use_crop`` — the detector-pretraining variant], then a DETR-scale
+    resize. EGTR training uses the NoCrop variant (train_egtr.py:578-582)
+    because cropping drops boxes that relations index.
     """
     orig_w, orig_h = img.size
     boxes_xyxy = np.asarray(boxes_xyxy, np.float32).reshape(-1, 4)
@@ -113,6 +147,9 @@ def preprocess(
             s0 = int(rng.choice((400, 500, 600)))
             img, boxes_xyxy = _resize_image_and_boxes(
                 img, boxes_xyxy, size_with_aspect_ratio(*img.size, s0, None))
+            if use_crop:
+                img, boxes_xyxy, class_labels, rel = _random_size_crop(
+                    img, boxes_xyxy, class_labels, rel, rng)
             s = int(rng.choice(DETR_TRAIN_SCALES))
             img, boxes_xyxy = _resize_image_and_boxes(
                 img, boxes_xyxy,

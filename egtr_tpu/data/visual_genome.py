@@ -25,13 +25,14 @@ from .transforms import Sample, preprocess
 class VGDataset:
     def __init__(self, data_folder: str, split: str, *, train_aug: bool = False,
                  size: int = 800, max_size: int = 1333, debug: bool = False,
-                 seed: int = 42):
+                 seed: int = 42, use_crop: bool = False):
         self.data_folder = data_folder
         self.split = split
         self.train_aug = train_aug and split == "train"
         self.size = size
         self.max_size = max_size
         self.rng = np.random.default_rng(seed)
+        self.use_crop = use_crop
 
         with open(os.path.join(data_folder, f"{split}.json")) as f:
             coco = json.load(f)
@@ -83,7 +84,8 @@ class VGDataset:
         boxes, labels, rel = self.raw_annotations(image_id)
         return preprocess(
             img, boxes, labels, rel, train=self.train_aug, rng=self.rng,
-            size=self.size, max_size=self.max_size, image_id=image_id)
+            size=self.size, max_size=self.max_size, image_id=image_id,
+            use_crop=self.use_crop)
 
 
 def vg_get_statistics(dataset: VGDataset) -> np.ndarray:

@@ -75,6 +75,31 @@ def sgg_postprocess(logits, pred_boxes, pred_rel, pred_connectivity,
     }
 
 
+@functools.partial(jax.jit, static_argnames=("top_k",))
+def detection_postprocess(logits, pred_boxes, target_sizes, top_k: int = 100):
+    """COCO-style detection post-processing on device.
+
+    Reference: DeformableDetrFeatureExtractor.post_process
+    (deformable_detr.py:273-319): sigmoid probs, top-100 over the flattened
+    Q x C grid, gather boxes, scale to absolute (h, w) coordinates.
+    Returns dict(scores [B,k], labels [B,k], boxes [B,k,4] xyxy abs).
+    """
+    B, Q, C = logits.shape
+    top_k = min(top_k, Q * C)
+    prob = jax.nn.sigmoid(logits).reshape(B, -1)
+    scores, idx = jax.lax.top_k(prob, top_k)
+    box_idx = idx // C
+    labels = idx % C
+    cx, cy, w, h = jnp.split(pred_boxes, 4, axis=-1)
+    xyxy = jnp.concatenate(
+        [cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2], axis=-1)
+    boxes = jnp.take_along_axis(xyxy, box_idx[..., None], axis=1)
+    img_h = target_sizes[:, 0].astype(boxes.dtype)
+    img_w = target_sizes[:, 1].astype(boxes.dtype)
+    scale = jnp.stack([img_w, img_h, img_w, img_h], axis=1)[:, None, :]
+    return {"scores": scores, "labels": labels, "boxes": boxes * scale}
+
+
 def rescale_boxes_np(boxes_cxcywh, orig_hw):
     """Normalized cxcywh -> absolute xyxy at the original image size
     (util/box_ops.py:87-93 with torch.flip(orig_size))."""

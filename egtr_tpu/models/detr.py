@@ -105,6 +105,13 @@ class DeformableDetrBase(nn.Module):
         feats = ResNet50(dtype=dtype, name="backbone")(pixel_values)
 
         shapes = level_shapes((H_img, W_img), Lv)
+        if cfg.position_embedding_type == "learned":
+            # 50x50 learned table (deformable_detr.py:880-906)
+            learned_rows = self.param(
+                "row_embeddings", nn.initializers.uniform(1.0), (50, E // 2))
+            learned_cols = self.param(
+                "column_embeddings", nn.initializers.uniform(1.0),
+                (50, E // 2))
         sources, masks, pos_embeds = [], [], []
         for lvl in range(Lv):
             if lvl < len(feats):
@@ -124,7 +131,16 @@ class DeformableDetrBase(nn.Module):
             src = src.astype(dtype)
             assert src.shape[1:3] == shapes[lvl], (
                 f"level {lvl}: conv shape {src.shape[1:3]} != static {shapes[lvl]}")
-            if no_mask:
+            if cfg.position_embedding_type == "learned":
+                hh, ww = shapes[lvl]
+                y_emb = learned_rows[jnp.clip(jnp.arange(hh), 0, 49)]
+                x_emb = learned_cols[jnp.clip(jnp.arange(ww), 0, 49)]
+                pe = jnp.broadcast_to(jnp.concatenate([
+                    jnp.broadcast_to(x_emb[None, :, :], (hh, ww, E // 2)),
+                    jnp.broadcast_to(y_emb[:, None, :], (hh, ww, E // 2)),
+                ], axis=-1)[None], (B, hh, ww, E))
+                m = None if no_mask else _resize_mask(pixel_mask, shapes[lvl])
+            elif no_mask:
                 m = None
                 pe = jnp.broadcast_to(
                     sine_position_embedding_full(shapes[lvl], E // 2),
@@ -171,26 +187,14 @@ class DeformableDetrBase(nn.Module):
               deterministic=deterministic)
         encoder_hidden = hidden
 
-        # ---- query init (single-stage; deformable_detr.py:2338-2343) ----
-        if cfg.two_stage:
-            raise NotImplementedError("two_stage is implemented in a later stage")
-        query_embeddings = self.param(
-            "query_position_embeddings", default_kernel_init,
-            (cfg.num_queries, 2 * E))
-        query_pos, target = jnp.split(query_embeddings, 2, axis=1)
-        query_pos = jnp.broadcast_to(query_pos[None], (B, cfg.num_queries, E))
-        target = jnp.broadcast_to(target[None], (B, cfg.num_queries, E))
-        reference_points = jax.nn.sigmoid(
-            nn.Dense(2, kernel_init=nn.initializers.xavier_uniform(),
-                     dtype=jnp.float32, name="reference_points")(query_pos))
-        init_reference = reference_points
-        query_pos = query_pos.astype(dtype)
-        target = target.astype(dtype)
-
-        # ---- detection heads (shared or per-layer clones) ----
-        num_pred = cfg.decoder_layers
+        # ---- detection heads (shared or per-layer clones); two-stage adds
+        #      one extra head for proposal scoring (egtr.py:140-161) ----
+        num_pred = cfg.decoder_layers + 1 if cfg.two_stage else \
+            cfg.decoder_layers
         prior = 0.01
         cls_bias = float(-math.log((1 - prior) / prior))
+        box_bias = (0.0, 0.0, 0.0, 0.0) if cfg.two_stage else \
+            (0.0, 0.0, -2.0, -2.0)
 
         def make_heads(idx):
             cls = nn.Dense(
@@ -198,15 +202,58 @@ class DeformableDetrBase(nn.Module):
                 bias_init=nn.initializers.constant(cls_bias),
                 dtype=jnp.float32, name=f"class_embed_{idx}")
             box = MLPHead(E, 4, 3, final_kernel_zero=True,
-                          final_bias=(0.0, 0.0, -2.0, -2.0),
+                          final_bias=box_bias,
                           dtype=jnp.float32, name=f"bbox_embed_{idx}")
             return cls, box
 
-        if cfg.with_box_refine:
+        if cfg.with_box_refine or cfg.two_stage:
             heads = [make_heads(i) for i in range(num_pred)]
         else:
             shared = make_heads(0)
             heads = [shared] * num_pred
+
+        # ---- query init ----
+        enc_outputs_class = None
+        enc_outputs_coord_logits = None
+        if cfg.two_stage:
+            # proposal generation from encoder memory
+            # (deformable_detr.py:2098-2159, 2306-2337)
+            object_query, output_proposals = _gen_encoder_output_proposals(
+                encoder_hidden.astype(jnp.float32), mask_flatten, shapes)
+            object_query = nn.LayerNorm(name="enc_output_norm")(
+                nn.Dense(E, kernel_init=default_kernel_init,
+                         name="enc_output")(object_query))
+            enc_outputs_class = heads[-1][0](object_query)
+            enc_outputs_coord_logits = heads[-1][1](object_query) \
+                + output_proposals
+
+            topk = cfg.two_stage_num_proposals
+            _, topk_idx = jax.lax.top_k(enc_outputs_class[..., 0], topk)
+            topk_coords_logits = jnp.take_along_axis(
+                enc_outputs_coord_logits, topk_idx[..., None], axis=1)
+            topk_coords_logits = jax.lax.stop_gradient(topk_coords_logits)
+            reference_points = jax.nn.sigmoid(topk_coords_logits)  # [B,k,4]
+            init_reference = reference_points
+            pos_trans = nn.Dense(2 * E, kernel_init=default_kernel_init,
+                                 name="pos_trans")(
+                _proposal_pos_embed(topk_coords_logits, E // 2))
+            pos_trans = nn.LayerNorm(name="pos_trans_norm")(pos_trans)
+            query_pos, target = jnp.split(pos_trans, 2, axis=2)
+        else:
+            query_embeddings = self.param(
+                "query_position_embeddings", default_kernel_init,
+                (cfg.num_queries, 2 * E))
+            query_pos, target = jnp.split(query_embeddings, 2, axis=1)
+            query_pos = jnp.broadcast_to(query_pos[None],
+                                         (B, cfg.num_queries, E))
+            target = jnp.broadcast_to(target[None], (B, cfg.num_queries, E))
+            reference_points = jax.nn.sigmoid(
+                nn.Dense(2, kernel_init=nn.initializers.xavier_uniform(),
+                         dtype=jnp.float32,
+                         name="reference_points")(query_pos))
+            init_reference = reference_points
+        query_pos = query_pos.astype(dtype)
+        target = target.astype(dtype)
 
         # ---- decoder (unrolled; deformable_detr.py:1853-1939) ----
         hidden = target
@@ -243,7 +290,7 @@ class DeformableDetrBase(nn.Module):
 
         # ---- per-layer class/box outputs (egtr.py:286-314) ----
         outputs_classes, outputs_coords = [], []
-        for lvl in range(num_pred):
+        for lvl in range(cfg.decoder_layers):
             ref = init_reference if lvl == 0 else inter_refs[lvl - 1]
             ref = inverse_sigmoid(ref)
             logits = heads[lvl][0](inter_hidden[lvl])
@@ -266,4 +313,64 @@ class DeformableDetrBase(nn.Module):
             "init_reference_points": init_reference,
             "intermediate_reference_points": jnp.stack(inter_refs, axis=1),
             "encoder_last_hidden_state": encoder_hidden,
+            "enc_outputs_class": enc_outputs_class,
+            "enc_outputs_coord_logits": enc_outputs_coord_logits,
         }
+
+
+def _gen_encoder_output_proposals(enc_output, mask_flatten, spatial_shapes):
+    """Proposal grid from encoder memory (deformable_detr.py:2098-2159).
+
+    Returns (object_query [B,S,E] with padded/invalid positions zeroed,
+    output_proposals [B,S,4] inverse-sigmoid coords with invalid -> +inf).
+    """
+    B, S, E = enc_output.shape
+    proposals = []
+    start = 0
+    for level, (h, w) in enumerate(spatial_shapes):
+        if mask_flatten is not None:
+            m = mask_flatten[:, start:start + h * w].reshape(B, h, w)
+            valid_h = m[:, :, 0].sum(1).astype(jnp.float32)
+            valid_w = m[:, 0, :].sum(1).astype(jnp.float32)
+        else:
+            valid_h = jnp.full((B,), float(h))
+            valid_w = jnp.full((B,), float(w))
+        gy, gx = jnp.meshgrid(
+            jnp.linspace(0, h - 1, h, dtype=jnp.float32),
+            jnp.linspace(0, w - 1, w, dtype=jnp.float32), indexing="ij")
+        grid = jnp.stack([gx, gy], -1)[None]                      # [1,h,w,2]
+        scale = jnp.stack([valid_w, valid_h], -1).reshape(B, 1, 1, 2)
+        grid = (jnp.broadcast_to(grid, (B, h, w, 2)) + 0.5) / scale
+        wh = jnp.ones_like(grid) * 0.05 * (2.0 ** level)
+        proposals.append(
+            jnp.concatenate([grid, wh], -1).reshape(B, -1, 4))
+        start += h * w
+    output_proposals = jnp.concatenate(proposals, 1)              # [B,S,4]
+    valid = ((output_proposals > 0.01) & (output_proposals < 0.99)).all(
+        -1, keepdims=True)
+    output_proposals = jnp.log(
+        output_proposals / (1 - output_proposals))
+    if mask_flatten is not None:
+        output_proposals = jnp.where(
+            mask_flatten[..., None], output_proposals, jnp.inf)
+    output_proposals = jnp.where(valid, output_proposals, jnp.inf)
+
+    object_query = enc_output
+    if mask_flatten is not None:
+        object_query = jnp.where(mask_flatten[..., None], object_query, 0.0)
+    object_query = jnp.where(valid, object_query, 0.0)
+    return object_query, output_proposals
+
+
+def _proposal_pos_embed(proposals, num_pos_feats: int = 128,
+                        temperature: float = 10000.0):
+    """Sine embedding of proposal coords (deformable_detr.py:2076-2096).
+    proposals: [B,k,4] logits -> [B,k,4*num_pos_feats]."""
+    scale = 2 * math.pi
+    dim_t = jnp.arange(num_pos_feats, dtype=jnp.float32)
+    dim_t = temperature ** (2 * (dim_t // 2) / num_pos_feats)
+    pos = jax.nn.sigmoid(proposals) * scale
+    pos = pos[..., None] / dim_t                                  # [B,k,4,F]
+    pos = jnp.stack([jnp.sin(pos[..., 0::2]), jnp.cos(pos[..., 1::2])],
+                    axis=-1)
+    return pos.reshape(*pos.shape[:2], -1)

@@ -222,6 +222,26 @@ def relation_losses(pred_rel_logits, pred_conn_logits, targets,
     return {"loss_rel": loss_rel, "loss_connectivity": loss_connectivity}
 
 
+def _enc_losses(outputs, targets, cfg: EgtrConfig, num_boxes_total,
+                losses: dict, weight: dict,
+                smoothing: Optional[float] = None) -> None:
+    """Two-stage proposal losses with binarized class labels
+    (egtr.py:1019-1033 / deformable_detr.py:2848-2859)."""
+    if not cfg.two_stage or outputs.get("enc_outputs_class") is None:
+        return
+    enc_logits = outputs["enc_outputs_class"]
+    enc_boxes = jax.nn.sigmoid(outputs["enc_outputs_coord_logits"])
+    bin_targets = dict(targets)
+    bin_targets["class_labels"] = jnp.zeros_like(targets["class_labels"])
+    res = match(enc_logits, enc_boxes, bin_targets, cfg, smoothing=smoothing)
+    enc = detection_losses(enc_logits, enc_boxes, bin_targets, res,
+                           num_boxes_total, cfg)
+    for k in ("loss_ce", "loss_bbox", "loss_giou"):
+        losses[f"{k}_enc"] = enc[k]
+        weight[f"{k}_enc"] = weight[k]
+    losses["cardinality_error_enc"] = enc["cardinality_error"]
+
+
 def sgg_criterion(outputs, targets, cfg: EgtrConfig, train: bool,
                   rng: Optional[jax.Array] = None
                   ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
@@ -259,6 +279,7 @@ def sgg_criterion(outputs, targets, cfg: EgtrConfig, train: bool,
                 weight[f"{k}_{i}"] = weight[k]
             losses[f"cardinality_error_{i}"] = aux["cardinality_error"]
 
+    _enc_losses(outputs, targets, cfg, num_boxes_total, losses, weight)
     total = sum(losses[k] * w for k, w in weight.items() if k in losses)
     return total, losses
 
@@ -294,5 +315,7 @@ def detection_criterion(outputs, targets, cfg: EgtrConfig
                 weight[f"{k}_{i}"] = weight[k]
             losses[f"cardinality_error_{i}"] = aux["cardinality_error"]
 
+    _enc_losses(outputs, targets, cfg, num_boxes_total, losses, weight,
+                smoothing=0.0)
     total = sum(losses[k] * w for k, w in weight.items() if k in losses)
     return total, losses

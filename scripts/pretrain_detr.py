@@ -56,8 +56,9 @@ def main():
 
     if args.dataset == "visual_genome":
         from egtr_tpu.data.visual_genome import VGDataset
+        # detector pretraining uses the crop augmentor (pretrain_detr.py:267)
         train_ds = VGDataset(args.data_path, "train", train_aug=True,
-                             debug=args.debug, seed=args.seed)
+                             use_crop=True, debug=args.debug, seed=args.seed)
         val_ds = VGDataset(args.data_path, "val")
         num_labels = train_ds.num_classes()
         num_rel = len(train_ds.rel_categories)
