@@ -74,7 +74,8 @@ def ms_deform_attn(
     assert L == len(spatial_shapes)
 
     dtype = value.dtype
-    out = jnp.zeros((B, Q, H, D), dtype=jnp.float32)
+    acc_dtype = jnp.float32 if dtype == jnp.float32 else dtype
+    out = jnp.zeros((B, Q, H, D), dtype=acc_dtype)
     start = 0
     for lid, (h, w) in enumerate(spatial_shapes):
         value_l = lax.slice_in_dim(value, start, start + h * w, axis=1)
@@ -116,8 +117,10 @@ def ms_deform_attn(
         wfull = (wcorner * aw[..., None, None]).astype(dtype)
         # elementwise multiply + reduce (VPU) — do NOT let this become a
         # dot_general over the tiny (2,2) dims, and keep the big patch
-        # tensor in the compute dtype (no 13M-element converts)
-        weighted = (patches * wfull[..., None]).sum(axis=(3, 4, 5))
-        out = out + weighted.astype(jnp.float32)
+        # tensor in the compute dtype (no 13M-element converts); the
+        # 16-way sum runs over one flattened sublane axis
+        weighted = (patches.reshape(B, Q, H, P * 4, D)
+                    * wfull.reshape(B, Q, H, P * 4, 1)).sum(axis=3)
+        out = out + weighted.astype(acc_dtype)
         start += h * w
     return out.reshape(B, Q, H * D).astype(dtype)
