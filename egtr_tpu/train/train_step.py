@@ -49,6 +49,10 @@ def make_train_step(model, cfg: EgtrConfig, tx,
         if task == "sgg":
             total, losses = criterion(out, labels, cfg, train=True,
                                       rng=samp_key)
+            # per-layer mean gate values logged as pseudo-losses
+            # (egtr.py:496-505)
+            for i in range(cfg.decoder_layers + 1):
+                losses[f"rel_gate_{i}"] = out["rel_gate_mean"][i]
         else:
             total, losses = criterion(out, labels, cfg)
         return total, losses

@@ -110,6 +110,14 @@ def main():
         post = sgg_postprocess(
             out["logits"], out["pred_boxes"], out["pred_rel"],
             out["pred_connectivity"], num_labels=cfg.num_labels, top_k=100)
+        if args.coco_eval:
+            from egtr_tpu.evaluation.postprocess import detection_postprocess
+            det = detection_postprocess(
+                out["logits"], out["pred_boxes"],
+                jnp.ones((out["logits"].shape[0], 2), jnp.int32), top_k=100)
+            post["det_scores"] = det["scores"]
+            post["det_labels"] = det["labels"]
+            post["det_boxes_norm"] = det["boxes"]  # unit scale; rescale host-side
         if need_full_rel:
             # OI scores all Q^2 pairs (train_egtr.py:154-173) — ship the
             # full (clamped, connectivity-gated) relation tensor
@@ -138,6 +146,15 @@ def main():
         dt = time.perf_counter() - t0
         print(json.dumps({"fps": n / dt, "images": n}))
         return
+
+    coco = None
+    if args.coco_eval:
+        from egtr_tpu.evaluation.coco_eval import CocoEvaluator
+        # VG detection eval re-offsets category ids by +1
+        # (lib/evaluation/coco_eval.py:44-45)
+        coco = CocoEvaluator(sorted(ds.categories.keys())
+                             if hasattr(ds, "categories")
+                             else list(range(cfg.num_labels)))
 
     single = SceneGraphEvaluator(multiple_preds=False) \
         if args.eval_single_preds else None
@@ -169,6 +186,16 @@ def main():
                 "gt_classes": batch["labels"]["class_labels"][j, :n_gt],
             }
             pred_boxes_abs = rescale_boxes_np(post["pred_boxes"][j], orig_hw)
+            if coco is not None:
+                h0, w0 = float(orig_hw[0]), float(orig_hw[1])
+                det_boxes = post["det_boxes_norm"][j] * np.array(
+                    [w0, h0, w0, h0])
+                coco.update(
+                    int(batch["image_id"][j]),
+                    gt_entry["gt_boxes"],
+                    gt_entry["gt_classes"] + 1,
+                    det_boxes, post["det_scores"][j],
+                    post["det_labels"][j] + 1)
             if single is not None:
                 entry = {
                     "pred_boxes": pred_boxes_abs,
@@ -219,6 +246,11 @@ def main():
     if multiple is not None:
         metrics.update({f"multiple/{k}": v
                         for k, v in multiple.aggregate().items()})
+    if coco is not None:
+        metrics.update({f"coco/{k}": v for k, v in coco.summarize().items()})
+    if oi is not None:
+        metrics.update({f"oi/{k}": v
+                        for k, v in oi.aggregate_metrics().items()})
     print(json.dumps(metrics, indent=2))
     out_path = os.path.join(os.path.dirname(args.artifact_path) or ".",
                             f"metrics_{args.split}.json")
