@@ -132,9 +132,11 @@ def two_phase_fit(model, cfg: EgtrConfig, *, log_dir: str,
                   finetune_scale: float = 0.1, **kw) -> TrainState:
     """Main phase then finetune at scaled LRs from the best main checkpoint
     (train_egtr.py:790-870)."""
+    init_params = kw.pop("init_params", None)
     state = fit(model, cfg, log_dir=os.path.join(log_dir, "main"),
                 lr=lr, lr_backbone=lr_backbone,
-                lr_initialized=lr_initialized, max_epochs=max_epochs, **kw)
+                lr_initialized=lr_initialized, max_epochs=max_epochs,
+                init_params=init_params, **kw)
 
     # restore best main-phase params
     main_ckpt = CheckpointManager(os.path.join(log_dir, "main",

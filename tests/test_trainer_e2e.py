@@ -103,3 +103,27 @@ def test_training_reduces_loss(tmp_path):
     assert np.isfinite(losses).all()
     assert np.mean(losses[-10:]) < np.mean(losses[:10]) * 0.8, (
         losses[:5], losses[-5:])
+
+
+def test_two_phase_fit(tmp_path):
+    """Main phase then finetune from best main checkpoint at 0.1x LR."""
+    from egtr_tpu.train.trainer import two_phase_fit
+
+    ds = SyntheticDataset()
+    loader = Loader(ds, batch_size=4, shuffle=True, max_gt=3,
+                    num_rel_labels=4, buckets=((48, 64),), prefetch=0)
+    model = EgtrModel(TINY)
+    log_dir = str(tmp_path / "run2")
+    state = two_phase_fit(
+        model, TINY, log_dir=log_dir, train_loader=loader, val_loader=loader,
+        lr=1e-3, lr_backbone=1e-4, lr_initialized=1e-3,
+        max_epochs=1, max_epochs_finetune=1, patience=5, log_every=1)
+    assert int(state.step) == 2  # 1 epoch x 2 batches in the finetune phase
+    assert os.path.isdir(os.path.join(log_dir, "main", "checkpoints"))
+    assert os.path.isdir(os.path.join(log_dir, "finetune", "checkpoints"))
+    main_ckpt = CheckpointManager(os.path.join(log_dir, "main",
+                                               "checkpoints"))
+    ft_ckpt = CheckpointManager(os.path.join(log_dir, "finetune",
+                                             "checkpoints"))
+    assert main_ckpt.latest_step() == 1
+    assert ft_ckpt.latest_step() == 1
