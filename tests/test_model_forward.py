@@ -45,6 +45,8 @@ def test_base_shapes(base_forward):
     assert out["attention_keys"].shape == (1, L, H, Q, Dh)
     assert out["last_hidden_state"].shape == (1, Q, cfg.d_model)
     for k, v in out.items():
+        if v is None:  # enc_outputs_* are None in single-stage mode
+            continue
         assert np.isfinite(np.asarray(v)).all(), f"non-finite in {k}"
 
 
