@@ -13,7 +13,6 @@ Re-implementation of the reference's OI scoring pipeline
 
 from __future__ import annotations
 
-from collections import defaultdict
 from typing import Dict, List, Sequence
 
 import numpy as np

@@ -15,7 +15,7 @@ Re-implementation of the reference evaluator semantics
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Sequence
 
 import numpy as np
 

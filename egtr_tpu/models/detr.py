@@ -18,7 +18,7 @@ reference that are deliberate TPU design choices:
 from __future__ import annotations
 
 import math
-from typing import Optional, Sequence, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax
@@ -28,7 +28,7 @@ from ..config import EgtrConfig
 from ..ops.boxes import inverse_sigmoid
 from ..ops.posenc import sine_position_embedding, sine_position_embedding_full
 from .backbone import ResNet50
-from .layers import (DecoderLayer, EncoderLayer, MLPHead, dense,
+from .layers import (DecoderLayer, EncoderLayer, MLPHead,
                      default_kernel_init)
 
 

@@ -28,8 +28,6 @@ math (modulo float reassociation).
 
 from __future__ import annotations
 
-from typing import Optional
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

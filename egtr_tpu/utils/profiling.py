@@ -15,7 +15,7 @@ import gzip
 import json
 import re
 import time
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 
 @contextlib.contextmanager

@@ -9,7 +9,6 @@ finetune phase at 0.1x, then end-of-training evaluation.
 """
 
 import argparse
-import json
 import os
 import sys
 
@@ -82,7 +81,6 @@ def parse_args():
 def main():
     args = parse_args()
     import jax
-    import numpy as np
 
     from egtr_tpu.config import EgtrConfig
     from egtr_tpu.data.loader import Loader

@@ -1,7 +1,6 @@
 """Native C++ kernels vs numpy reference implementations."""
 
 import numpy as np
-import pytest
 
 from egtr_tpu import native
 from egtr_tpu.evaluation.sg_eval import (

@@ -7,7 +7,6 @@ import os
 import numpy as np
 import jax
 import jax.numpy as jnp
-import pytest
 
 from egtr_tpu.config import EgtrConfig
 from egtr_tpu.data.transforms import Sample

@@ -3,7 +3,6 @@
 import numpy as np
 import jax
 import jax.numpy as jnp
-import pytest
 
 from egtr_tpu.config import EgtrConfig
 from egtr_tpu.models.egtr import EgtrModel
