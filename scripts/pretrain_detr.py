@@ -83,7 +83,7 @@ def main():
         * args.accumulate
     train_loader = Loader(train_ds, global_bs, shuffle=True,
                           max_gt=cfg.max_gt_boxes, num_rel_labels=num_rel,
-                          seed=args.seed)
+                          drop_last=True, seed=args.seed)
     val_loader = Loader(val_ds, global_bs // args.accumulate, shuffle=False,
                         max_gt=cfg.max_gt_boxes, num_rel_labels=num_rel)
 

@@ -270,3 +270,31 @@ def test_detection_criterion_runs(rng):
     # aux layers share the same predictions -> identical losses
     np.testing.assert_allclose(np.asarray(losses["loss_ce_0"]),
                                np.asarray(losses["loss_ce"]), rtol=1e-5)
+
+
+def test_zero_gt_image_in_batch(rng):
+    """An image with zero ground-truth boxes must not break the matcher or
+    produce non-finite losses (empty VG images exist)."""
+    outputs, targets = make_batch(rng)
+    targets["num_boxes"] = np.array([0, 5, 1], np.int32)
+    targets["rel"][0] = 0.0
+    j_out = {k: jnp.array(v) for k, v in outputs.items()}
+    j_tgt = {k: jnp.array(v) for k, v in targets.items()}
+    for train in (False, True):
+        total, losses = C.sgg_criterion(j_out, j_tgt, CFG, train=train)
+        assert np.isfinite(float(total)), train
+        for k, v in losses.items():
+            assert np.isfinite(float(v)), (k, train)
+
+
+def test_all_zero_gt_batch(rng):
+    """Whole batch without boxes: num_boxes clamps to 1, everything finite."""
+    outputs, targets = make_batch(rng)
+    targets["num_boxes"] = np.zeros(3, np.int32)
+    targets["rel"][:] = 0.0
+    j_out = {k: jnp.array(v) for k, v in outputs.items()}
+    j_tgt = {k: jnp.array(v) for k, v in targets.items()}
+    total, losses = C.sgg_criterion(j_out, j_tgt, CFG, train=True)
+    assert np.isfinite(float(total))
+    assert float(losses["loss_rel"]) == 0.0 or np.isfinite(
+        float(losses["loss_rel"]))
