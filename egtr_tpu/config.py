@@ -78,6 +78,10 @@ class EgtrConfig:
     max_gt_rels: int = 192
     # Compute dtype for matmul-heavy paths ("bfloat16" or "float32").
     compute_dtype: str = "float32"
+    # Rematerialize encoder/decoder layers in the backward pass (trades
+    # recompute for activation memory; jax.checkpoint). Recommended for
+    # training at full resolution.
+    use_remat: bool = False
 
     @property
     def head_dim(self) -> int:

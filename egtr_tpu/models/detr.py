@@ -178,13 +178,20 @@ class DeformableDetrBase(nn.Module):
         # ---- encoder ----
         enc_ref = encoder_reference_points(shapes, valid_ratios)
         hidden = nn.Dropout(cfg.dropout)(source_flatten, deterministic)
+        # rematerialized layers recompute the MSDA gathers in backward
+        # instead of saving ~GB of patch activations (jax.checkpoint)
+        # deterministic must be a STATIC positional under jax.checkpoint
+        EncLayer = nn.remat(EncoderLayer, static_argnums=(4, 6)) \
+            if cfg.use_remat else EncoderLayer
+        DecLayer = nn.remat(DecoderLayer, static_argnums=(5, 7)) \
+            if cfg.use_remat else DecoderLayer
         for i in range(cfg.encoder_layers):
-            hidden = EncoderLayer(
+            hidden = EncLayer(
                 E, cfg.encoder_ffn_dim, cfg.encoder_attention_heads, Lv,
                 cfg.encoder_n_points, cfg.dropout, cfg.activation_dropout,
                 dtype=dtype, name=f"encoder_layer_{i}",
-            )(hidden, pos_flatten, enc_ref, shapes, value_mask=mask_flatten,
-              deterministic=deterministic)
+            )(hidden, pos_flatten, enc_ref, shapes, mask_flatten,
+              deterministic)
         encoder_hidden = hidden
 
         # ---- detection heads (shared or per-layer clones); two-stage adds
@@ -264,13 +271,13 @@ class DeformableDetrBase(nn.Module):
                     [valid_ratios, valid_ratios], -1)[:, None]
             else:
                 ref_input = reference_points[:, :, None] * valid_ratios[:, None]
-            hidden, q, k = DecoderLayer(
+            hidden, q, k = DecLayer(
                 E, cfg.decoder_ffn_dim, cfg.decoder_attention_heads, Lv,
                 cfg.decoder_n_points, cfg.dropout, cfg.attention_dropout,
                 cfg.activation_dropout, dtype=dtype,
                 name=f"decoder_layer_{i}",
             )(hidden, query_pos, encoder_hidden, ref_input, shapes,
-              value_mask=mask_flatten, deterministic=deterministic)
+              mask_flatten, deterministic)
 
             if cfg.with_box_refine:
                 delta = heads[i][1](hidden)
