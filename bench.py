@@ -2,7 +2,10 @@
 
 Protocol (reference README.md:105-109, evaluate_egtr.py:27-36): batch 1,
 shortest side 600 / max 1000, forward only. Baseline: ~14.5 img/s on one
-V100 (EGTR paper efficiency table; BASELINE.md). Prints ONE JSON line.
+V100 (EGTR paper efficiency table; BASELINE.md). Prints ONE JSON line; the
+headline metric is the protocol batch-1 number, and ``batch8_fps`` reports
+batched-serving throughput at the same resolution (amortizes the ~27 ms
+axon dispatch+fetch overhead that dominates batch-1 on this tunnel).
 
 The forward includes device-side top-k triplet extraction (the deployment
 path) and forces a host fetch of the small top-k outputs each iteration so
@@ -18,15 +21,7 @@ import numpy as np
 BASELINE_FPS = 14.5  # V100 reference (BASELINE.md)
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--iters", type=int, default=30)
-    ap.add_argument("--warmup", type=int, default=3)
-    ap.add_argument("--quick", action="store_true", help="5 iters")
-    args = ap.parse_args()
-    if args.quick:
-        args.iters = 5
-
+def _build(cfg_kw, batch, H, W):
     import jax
     import jax.numpy as jnp
     from egtr_tpu.config import EgtrConfig
@@ -34,14 +29,12 @@ def main():
     from egtr_tpu.evaluation.postprocess import sgg_postprocess
 
     cfg = EgtrConfig(num_queries=200, num_labels=150, num_rel_labels=50,
-                     dropout=0.0, compute_dtype="bfloat16")
+                     dropout=0.0, compute_dtype="bfloat16", **cfg_kw)
     model = EgtrModel(cfg)
 
-    # FPS-protocol shape: 600x1000 -> bucket 608x1008 (static)
-    H, W = 608, 1008
     rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.standard_normal((1, H, W, 3)), jnp.float32)
-    params = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+    x = jnp.asarray(rng.standard_normal((batch, H, W, 3)), jnp.float32)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), x[:1])
 
     @jax.jit
     def infer(params, pixel_values):
@@ -58,22 +51,54 @@ def main():
         return jnp.concatenate(
             [p.astype(jnp.float32).reshape(-1) for p in parts])
 
-    # warmup / compile
-    for _ in range(max(args.warmup, 1)):
+    return params, x, infer
+
+
+def _time_fps(params, x, infer, iters, warmup):
+    for _ in range(max(warmup, 1)):
         np.asarray(infer(params, x))
-
     t0 = time.perf_counter()
-    for _ in range(args.iters):
+    for _ in range(iters):
         np.asarray(infer(params, x))  # single packed fetch (~30 KB)
-    dt = (time.perf_counter() - t0) / args.iters
-    fps = 1.0 / dt
+    dt = (time.perf_counter() - t0) / iters
+    return x.shape[0] / dt
 
-    print(json.dumps({
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument("--warmup", type=int, default=3)
+    ap.add_argument("--quick", action="store_true", help="5 iters")
+    ap.add_argument("--msda-impl", default="auto",
+                    choices=["auto", "pallas", "matmul", "gather"])
+    ap.add_argument("--batch8", dest="batch8", action="store_true",
+                    default=True, help="also measure batch-8 throughput")
+    ap.add_argument("--no-batch8", dest="batch8", action="store_false")
+    args = ap.parse_args()
+    if args.quick:
+        args.iters = 5
+
+    # FPS-protocol shape: 600x1000 -> bucket 608x1008 (static)
+    H, W = 608, 1008
+    cfg_kw = {"msda_impl": args.msda_impl}
+
+    params, x, infer = _build(cfg_kw, 1, H, W)
+    fps = _time_fps(params, x, infer, args.iters, args.warmup)
+
+    result = {
         "metric": "egtr_inference_fps_600x1000_b1",
         "value": round(fps, 3),
         "unit": "img/s",
         "vs_baseline": round(fps / BASELINE_FPS, 3),
-    }))
+    }
+
+    if args.batch8:
+        params8, x8, infer8 = _build(cfg_kw, 8, H, W)
+        it8 = max(args.iters // 4, 2)
+        result["batch8_fps"] = round(
+            _time_fps(params8, x8, infer8, it8, 2), 3)
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

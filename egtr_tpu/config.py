@@ -82,6 +82,12 @@ class EgtrConfig:
     # recompute for activation memory; jax.checkpoint). Recommended for
     # training at full resolution.
     use_remat: bool = False
+    # Deformable-attention sampling implementation: "auto" | "pallas" |
+    # "matmul" | "gather". All three are exact grid_sample semantics;
+    # "pallas" is the fused MXU kernel (TPU only), "matmul" the XLA
+    # separable-hat path, "gather" the round-1 patch-gather. "auto" picks
+    # pallas on TPU and matmul elsewhere. See egtr_tpu/ops/msda.py.
+    msda_impl: str = "auto"
 
     @property
     def head_dim(self) -> int:

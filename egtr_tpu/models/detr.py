@@ -189,7 +189,8 @@ class DeformableDetrBase(nn.Module):
             hidden = EncLayer(
                 E, cfg.encoder_ffn_dim, cfg.encoder_attention_heads, Lv,
                 cfg.encoder_n_points, cfg.dropout, cfg.activation_dropout,
-                dtype=dtype, name=f"encoder_layer_{i}",
+                dtype=dtype, msda_impl=cfg.msda_impl,
+                name=f"encoder_layer_{i}",
             )(hidden, pos_flatten, enc_ref, shapes, mask_flatten,
               deterministic)
         encoder_hidden = hidden
@@ -275,6 +276,7 @@ class DeformableDetrBase(nn.Module):
                 E, cfg.decoder_ffn_dim, cfg.decoder_attention_heads, Lv,
                 cfg.decoder_n_points, cfg.dropout, cfg.attention_dropout,
                 cfg.activation_dropout, dtype=dtype,
+                msda_impl=cfg.msda_impl,
                 name=f"decoder_layer_{i}",
             )(hidden, query_pos, encoder_hidden, ref_input, shapes,
               mask_flatten, deterministic)

@@ -149,6 +149,7 @@ class MSDeformableAttention(nn.Module):
     n_levels: int
     n_points: int
     dtype: Optional[jnp.dtype] = None
+    msda_impl: str = "auto"
 
     @nn.compact
     def __call__(
@@ -202,7 +203,7 @@ class MSDeformableAttention(nn.Module):
 
         out = ms_deform_attn(
             value, tuple(spatial_shapes), loc,
-            weights.astype(value.dtype))
+            weights.astype(value.dtype), impl=self.msda_impl)
         out = dense(E, "output_proj", dtype=self.dtype,
                     kernel_init=nn.initializers.xavier_uniform())(out)
         return out
@@ -219,6 +220,7 @@ class EncoderLayer(nn.Module):
     dropout: float = 0.1
     activation_dropout: float = 0.0
     dtype: Optional[jnp.dtype] = None
+    msda_impl: str = "auto"
 
     @nn.compact
     def __call__(self, hidden_states, position_embeddings, reference_points,
@@ -226,7 +228,7 @@ class EncoderLayer(nn.Module):
         residual = hidden_states
         hidden_states = MSDeformableAttention(
             self.d_model, self.num_heads, self.n_levels, self.n_points,
-            dtype=self.dtype, name="self_attn",
+            dtype=self.dtype, msda_impl=self.msda_impl, name="self_attn",
         )(hidden_states, hidden_states, reference_points, spatial_shapes,
           position_embeddings=position_embeddings, value_mask=value_mask)
         hidden_states = nn.Dropout(self.dropout)(hidden_states, deterministic)
@@ -262,6 +264,7 @@ class DecoderLayer(nn.Module):
     attention_dropout: float = 0.0
     activation_dropout: float = 0.0
     dtype: Optional[jnp.dtype] = None
+    msda_impl: str = "auto"
 
     @nn.compact
     def __call__(self, hidden_states, query_pos, encoder_hidden_states,
@@ -280,7 +283,7 @@ class DecoderLayer(nn.Module):
         residual = hidden_states
         hidden_states = MSDeformableAttention(
             self.d_model, self.num_heads, self.n_levels, self.n_points,
-            dtype=self.dtype, name="encoder_attn",
+            dtype=self.dtype, msda_impl=self.msda_impl, name="encoder_attn",
         )(hidden_states, encoder_hidden_states, reference_points,
           spatial_shapes, position_embeddings=query_pos,
           value_mask=value_mask)

@@ -10,19 +10,39 @@ False)`` with grid ``2*loc-1``); bilinear interpolation with zero padding
 outside the feature map. Attention weights are already softmaxed over
 (levels x points).
 
-Performance design (v5e profile-driven): XLA's row-gather of 64-byte
-[D=32] rows runs at ~1% of HBM bandwidth and dominated the whole model
-(~260ms/img at 600x1000). Instead, each sample point fetches ONE 2x2xD
-patch via ``lax.gather`` with ``slice_sizes=(2,2,D)`` (XLA clamps the patch
-start in-bounds), and the bilinear + zero-padding is applied afterwards with
-hat weights evaluated at the *clamped* patch corner coordinates:
+Two exact implementations are provided (selected by ``impl``):
 
-    w(r,c) = relu(1 - |iy - y_r|) * relu(1 - |ix - x_c|)
+``matmul`` (default)
+    Separable-hat MXU formulation. Bilinear interpolation along an axis is a
+    dot product with the *dense analytic hat vector* — for a fractional pixel
+    coordinate ``ix``, ``hx[x] = relu(1 - |ix - x|)`` has exactly the two
+    bilinear corner weights as nonzeros and evaluates to zero outside the
+    map, reproducing grid_sample's zero padding for free. Sampling therefore
+    factorizes into
 
-For in-bounds samples the clamped patch equals the true corner patch, so
-hat weights ARE the bilinear weights; for out-of-bounds samples the hat
-evaluates to zero exactly where grid_sample's zero padding drops the
-contribution — bit-equal results with 4x fewer, 4x larger gathers.
+        stage 1 (MXU):  T[r, y*D+d] = sum_x hx[r, x] * V[x, y*D+d]
+        stage 2 (VPU):  out[r, d]   = sum_y (aw[r] * hy[r, y]) * T[r, y, d]
+
+    with r enumerating (query, point) rows. Stage 1 is a large dense matmul
+    ([rows, w] @ [w, h*D]) that runs on the systolic array instead of the
+    scalar-bound gather unit; on v5e this replaces ~10.7 cycles *per sampled
+    row* of gather with ~1e12 MACs/image of cheap MXU work. Rows are
+    processed in fixed-size chunks under ``lax.scan`` with ``jax.checkpoint``
+    so the [chunk, h*D] intermediate never hits HBM-resident autodiff
+    residuals — training memory is O(inputs), not O(patches).
+
+``gather``
+    The round-1 path: one ``lax.gather`` of a 2x2xD patch per sampled point
+    with hat weights evaluated at the clamped patch corners. Exact, but
+    scalar-unit bound (~10.7 cycles/row) and its [N,2,2,D] output layout
+    tile-pads the D=32 minor dim 4x. Kept for A/B benchmarking and as the
+    fastest path for tiny row counts.
+
+``pallas``
+    Same math as ``matmul`` but as a fused Pallas kernel per level (stage-2
+    consumes stage-1's VMEM tile; no [rows, h*D] HBM traffic) with a custom
+    VJP. See ``egtr_tpu.ops.msda_pallas``. Falls back to ``matmul`` on
+    non-TPU backends.
 
 Spatial shapes are STATIC (python tuple) — images are padded to bucketed
 shapes so the whole model compiles once per bucket.
@@ -36,12 +56,130 @@ Shapes:
 
 from __future__ import annotations
 
+import functools
 from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 from jax import lax
 
+# rows per scan chunk in the matmul path; multiple of 8 sublanes and of
+# any n_points so the point-sum stays inside the chunk
+_CHUNK_ROWS = 4096
+
+
+# --------------------------------------------------------------------------
+# shared helpers
+# --------------------------------------------------------------------------
+
+def _pixel_coords(loc, h: int, w: int):
+    """loc [..., 2] in [0,1] -> fractional pixel coords (ix, iy), fp32."""
+    ix = loc[..., 0].astype(jnp.float32) * w - 0.5
+    iy = loc[..., 1].astype(jnp.float32) * h - 0.5
+    return ix, iy
+
+
+def _hat(coord, size: int, dtype):
+    """Dense analytic hat row: relu(1 - |coord - arange(size)|).
+
+    coord: [..., 1]-broadcastable fp32. Exactly the bilinear corner weights
+    (zero-padding semantics included) — see module docstring.
+    """
+    grid = lax.broadcasted_iota(jnp.float32, coord.shape[:-1] + (size,),
+                                coord.ndim - 1)
+    return jnp.maximum(0.0, 1.0 - jnp.abs(coord - grid)).astype(dtype)
+
+
+# --------------------------------------------------------------------------
+# matmul (separable hat) implementation
+# --------------------------------------------------------------------------
+
+def _level_rows_matmul(Vt, ix, iy, aw, h: int, w: int, D: int):
+    """One chunk of rows against one level.
+
+    Vt: [B, H, w, h*D] (x-major transposed values)
+    ix, iy, aw: [B, H, C] fp32 (C rows = (query, point) pairs, point minor)
+    returns [B, H, C, D] fp32
+    """
+    cdt = Vt.dtype
+    B, H, C = ix.shape
+    hx = _hat(ix[..., None], w, cdt)                     # [B,H,C,w]
+    # stage 1 — MXU: contract the x axis for every y row at once
+    T = lax.dot_general(
+        hx, Vt,
+        dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
+        preferred_element_type=jnp.float32,
+    )                                                    # [B,H,C,h*D] fp32
+    # stage 2 — VPU: y-hat (scaled by the attention weight) times T
+    w2 = _hat(iy[..., None], h, jnp.float32) * aw[..., None]   # [B,H,C,h]
+    out = jnp.einsum(
+        "bhcy,bhcyd->bhcd", w2, T.reshape(B, H, C, h, D),
+        preferred_element_type=jnp.float32)
+    return out
+
+
+def _msda_level_matmul(value_l, ix, iy, aw, h: int, w: int, P: int):
+    """value_l: [B, h*w, H, D]; ix/iy/aw: [B, H, R] (R = Q*P, point minor).
+    Returns [B, H, Q, D] fp32."""
+    B, _, H, D = value_l.shape
+    R = ix.shape[-1]
+    # x-major value transpose: [B, H, w, h*D]
+    Vt = (value_l.reshape(B, h, w, H, D)
+          .transpose(0, 3, 2, 1, 4)
+          .reshape(B, H, w, h * D))
+
+    if R <= _CHUNK_ROWS:
+        out = _level_rows_matmul(Vt, ix, iy, aw, h, w, D)  # [B,H,R,D]
+        return out.reshape(B, H, R // P, P, D).sum(3)
+
+    # pad rows to a chunk multiple (aw=0 rows contribute exactly zero)
+    n_chunks = -(-R // _CHUNK_ROWS)
+    pad = n_chunks * _CHUNK_ROWS - R
+
+    def prep(t):
+        t = jnp.pad(t, ((0, 0), (0, 0), (0, pad)))
+        return (t.reshape(B, H, n_chunks, _CHUNK_ROWS)
+                .transpose(2, 0, 1, 3))                  # [N,B,H,C]
+
+    xs = (prep(ix), prep(iy), prep(aw))
+
+    @jax.checkpoint
+    def body(carry, x):
+        ixc, iyc, awc = x
+        out = _level_rows_matmul(Vt, ixc, iyc, awc, h, w, D)
+        return carry, out.reshape(B, H, _CHUNK_ROWS // P, P, D).sum(3)
+
+    _, outs = lax.scan(body, None, xs)                   # [N,B,H,C/P,D]
+    out = outs.transpose(1, 2, 0, 3, 4).reshape(B, H, -1, D)
+    return out[:, :, : R // P]
+
+
+def _msda_matmul(value, spatial_shapes, sampling_locations, attention_weights):
+    B, S, H, D = value.shape
+    _, Q, _, L, P, _ = sampling_locations.shape
+    dtype = value.dtype
+
+    out = jnp.zeros((B, H, Q, D), jnp.float32)
+    start = 0
+    for lid, (h, w) in enumerate(spatial_shapes):
+        value_l = lax.slice_in_dim(value, start, start + h * w, axis=1)
+        loc = sampling_locations[:, :, :, lid]           # [B,Q,H,P,2]
+        ix, iy = _pixel_coords(loc, h, w)                # [B,Q,H,P]
+        aw = attention_weights[:, :, :, lid].astype(jnp.float32)
+
+        def rows(t):  # [B,Q,H,P] -> [B,H,Q*P] (point minor)
+            return t.transpose(0, 2, 1, 3).reshape(B, H, Q * P)
+
+        out = out + _msda_level_matmul(
+            value_l, rows(ix), rows(iy), rows(aw), h, w, P)
+        start += h * w
+    # [B,H,Q,D] -> [B,Q,H*D]
+    return out.transpose(0, 2, 1, 3).reshape(B, Q, H * D).astype(dtype)
+
+
+# --------------------------------------------------------------------------
+# gather implementation (round-1 path)
+# --------------------------------------------------------------------------
 
 def _patch_gather(value_l, y0, x0, h: int, w: int):
     """Gather 2x2xD patches. value_l: [B,H,h,w,D]; y0/x0: [B,H,N] int32.
@@ -62,16 +200,9 @@ def _patch_gather(value_l, y0, x0, h: int, w: int):
     return jax.vmap(jax.vmap(one))(value_l, starts)
 
 
-def ms_deform_attn(
-    value: jax.Array,
-    spatial_shapes: Sequence[Tuple[int, int]],
-    sampling_locations: jax.Array,
-    attention_weights: jax.Array,
-) -> jax.Array:
-    """Pure-JAX multi-scale deformable attention (forward; differentiable)."""
+def _msda_gather(value, spatial_shapes, sampling_locations, attention_weights):
     B, S, H, D = value.shape
     _, Q, _, L, P, _ = sampling_locations.shape
-    assert L == len(spatial_shapes)
 
     dtype = value.dtype
     acc_dtype = jnp.float32 if dtype == jnp.float32 else dtype
@@ -88,8 +219,7 @@ def ms_deform_attn(
                                         (0, max(2 - w, 0)), (0, 0)))
 
         loc = sampling_locations[:, :, :, lid]          # [B,Q,H,P,2]
-        ix = loc[..., 0].astype(jnp.float32) * w - 0.5  # [B,Q,H,P]
-        iy = loc[..., 1].astype(jnp.float32) * h - 0.5
+        ix, iy = _pixel_coords(loc, h, w)               # [B,Q,H,P]
         x0 = jnp.floor(ix).astype(jnp.int32)
         y0 = jnp.floor(iy).astype(jnp.int32)
 
@@ -124,3 +254,41 @@ def ms_deform_attn(
         out = out + weighted.astype(acc_dtype)
         start += h * w
     return out.reshape(B, Q, H * D).astype(dtype)
+
+
+# --------------------------------------------------------------------------
+# dispatch
+# --------------------------------------------------------------------------
+
+def ms_deform_attn(
+    value: jax.Array,
+    spatial_shapes: Sequence[Tuple[int, int]],
+    sampling_locations: jax.Array,
+    attention_weights: jax.Array,
+    impl: str = "auto",
+) -> jax.Array:
+    """Pure-JAX multi-scale deformable attention (forward; differentiable).
+
+    impl: "matmul" | "gather" | "pallas" | "auto". "auto" picks the fused
+    Pallas kernel on TPU backends and the XLA matmul path elsewhere.
+    """
+    assert len(spatial_shapes) == sampling_locations.shape[3]
+    spatial_shapes = tuple((int(h), int(w)) for h, w in spatial_shapes)
+
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() not in ("cpu",) else "matmul"
+    if impl == "pallas":
+        from .msda_pallas import msda_pallas_supported
+        if not msda_pallas_supported():
+            impl = "matmul"
+    if impl == "pallas":
+        from .msda_pallas import msda_pallas
+        return msda_pallas(value, spatial_shapes, sampling_locations,
+                           attention_weights)
+    if impl == "matmul":
+        return _msda_matmul(value, spatial_shapes, sampling_locations,
+                            attention_weights)
+    if impl == "gather":
+        return _msda_gather(value, spatial_shapes, sampling_locations,
+                            attention_weights)
+    raise ValueError(f"unknown msda impl: {impl!r}")

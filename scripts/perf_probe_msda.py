@@ -1,0 +1,106 @@
+"""TPU probe: correctness + timing of MSDA implementations at encoder scale.
+
+Runs on the real chip (axon). Stage 1: tiny-shape parity pallas-vs-matmul
+(fail fast on Mosaic lowering). Stage 2: FPS-protocol encoder shapes, time
+each impl. Packs outputs into one fetch (27 ms/fetch tunnel cost).
+"""
+
+import argparse
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--impls", default="matmul,pallas")
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--skip-parity", action="store_true")
+    ap.add_argument("--grad", action="store_true",
+                    help="also time fwd+bwd (training step shape)")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from egtr_tpu.ops.msda import ms_deform_attn
+
+    print("backend:", jax.default_backend(), flush=True)
+
+    # ---- stage 1: tiny parity on-device ----
+    if not args.skip_parity:
+        rng = np.random.default_rng(0)
+        shapes = ((12, 20), (6, 10))
+        S = sum(h * w for h, w in shapes)
+        B, Q, H, D, L, P = 1, 40, 8, 32, 2, 4
+        value = rng.standard_normal((B, S, H, D)).astype(np.float32)
+        loc = rng.uniform(-0.1, 1.1, (B, Q, H, L, P, 2)).astype(np.float32)
+        aw = rng.uniform(0, 1, (B, Q, H, L, P)).astype(np.float32)
+
+        outs = {}
+        for impl in ["matmul", "pallas"]:
+            f = jax.jit(lambda v, l, a, impl=impl: ms_deform_attn(
+                v, shapes, l, a, impl=impl))
+            outs[impl] = np.asarray(f(jnp.asarray(value), jnp.asarray(loc),
+                                      jnp.asarray(aw)))
+            print(f"parity fwd {impl}: ok", flush=True)
+        err = np.abs(outs["pallas"] - outs["matmul"]).max()
+        print(f"parity fwd pallas-vs-matmul max err: {err:.2e}", flush=True)
+        assert err < 1e-4, err
+
+        def loss(impl):
+            def f(v, l, a):
+                return (ms_deform_attn(v, shapes, l, a, impl=impl) ** 2).sum()
+            return jax.jit(jax.grad(f, argnums=(0, 1, 2)))
+
+        gm = loss("matmul")(jnp.asarray(value), jnp.asarray(loc), jnp.asarray(aw))
+        gp = loss("pallas")(jnp.asarray(value), jnp.asarray(loc), jnp.asarray(aw))
+        for name, a, b in zip("v l a".split(), gm, gp):
+            e = np.abs(np.asarray(a) - np.asarray(b)).max()
+            scale = max(np.abs(np.asarray(a)).max(), 1.0)
+            print(f"parity grad[{name}] max err: {e:.2e} (scale {scale:.1e})",
+                  flush=True)
+            assert e / scale < 1e-3, (name, e)
+        print("PARITY OK", flush=True)
+
+    # ---- stage 2: encoder-scale timing (608x1008 FPS bucket) ----
+    shapes = ((76, 126), (38, 63), (19, 32), (10, 16))
+    S = sum(h * w for h, w in shapes)
+    B, H, D, L, P = 1, 8, 32, 4, 4
+    Q = S
+    rng = np.random.default_rng(1)
+    value = jnp.asarray(rng.standard_normal((B, S, H, D)), jnp.bfloat16)
+    loc = jnp.asarray(rng.uniform(0, 1, (B, Q, H, L, P, 2)), jnp.float32)
+    aw = jnp.asarray(rng.uniform(0, 1, (B, Q, H, L, P)), jnp.bfloat16)
+
+    for impl in args.impls.split(","):
+        f = jax.jit(lambda v, l, a, impl=impl: ms_deform_attn(
+            v, shapes, l, a, impl=impl).sum())
+        t = np.asarray(f(value, loc, aw))  # compile
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            np.asarray(f(value, loc, aw))
+        dt = (time.perf_counter() - t0) / args.iters * 1000
+        print(f"fwd {impl}: {dt:.2f} ms/call (x6 layers = {6*dt:.0f} ms)",
+              flush=True)
+
+        if args.grad:
+            def gsum(v, l, a, impl=impl):
+                gr = jax.grad(
+                    lambda v_, l_, a_: ms_deform_attn(
+                        v_, shapes, l_, a_, impl=impl
+                    ).astype(jnp.float32).sum(),
+                    argnums=(0, 1, 2))(v, l, a)
+                # one scalar fetch; see axon tunnel note in module docstring
+                return sum(x.astype(jnp.float32).sum() for x in gr)
+
+            g = jax.jit(gsum)
+            np.asarray(g(value, loc, aw))
+            t0 = time.perf_counter()
+            for _ in range(args.iters):
+                np.asarray(g(value, loc, aw))
+            dt = (time.perf_counter() - t0) / args.iters * 1000
+            print(f"fwd+bwd {impl}: {dt:.2f} ms/call", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -58,14 +58,58 @@ def make_inputs(rng, B=2, Q=7, H=4, D=8, shapes=((6, 9), (3, 5), (2, 2))):
     return value, shapes, loc, aw
 
 
-def test_msda_matches_grid_sample_oracle(rng):
+IMPLS = ["gather", "matmul", "pallas"]
+
+
+@pytest.mark.parametrize("impl", IMPLS)
+def test_msda_matches_grid_sample_oracle(rng, impl):
     value, shapes, loc, aw = make_inputs(rng)
     ref = torch_oracle(value, shapes, loc, aw)
-    out = ms_deform_attn(jnp.array(value), shapes, jnp.array(loc), jnp.array(aw))
+    out = ms_deform_attn(jnp.array(value), shapes, jnp.array(loc),
+                         jnp.array(aw), impl=impl)
     np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5, rtol=1e-4)
 
 
-def test_msda_exact_interior_point(rng):
+@pytest.mark.parametrize("impl", ["matmul", "pallas"])
+def test_msda_production_head_dim(rng, impl):
+    # D=32 is the deployed head dim; exercises the lane-fold paths
+    value, shapes, loc, aw = make_inputs(rng, B=1, Q=9, H=2, D=32,
+                                         shapes=((5, 7), (3, 3)))
+    ref = torch_oracle(value, shapes, loc, aw)
+    out = ms_deform_attn(jnp.array(value), shapes, jnp.array(loc),
+                         jnp.array(aw), impl=impl)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5, rtol=1e-4)
+
+
+def test_msda_matmul_chunked_path(rng, monkeypatch):
+    # force the lax.scan row-chunking (rows > chunk) and row padding
+    from egtr_tpu.ops import msda as msda_mod
+
+    monkeypatch.setattr(msda_mod, "_CHUNK_ROWS", 64)
+    value, shapes, loc, aw = make_inputs(rng, B=1, Q=37, H=2, D=4,
+                                         shapes=((6, 9), (3, 5)))
+    ref = torch_oracle(value, shapes, loc, aw)
+    out = ms_deform_attn(jnp.array(value), shapes, jnp.array(loc),
+                         jnp.array(aw), impl="matmul")
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5, rtol=1e-4)
+
+    # gradients flow through the chunked scan body
+    def f(v, l, a):
+        return msda_mod.ms_deform_attn(v, shapes, l, a, impl="matmul").sum()
+
+    grads = jax.grad(f, argnums=(0, 1, 2))(
+        jnp.array(value), jnp.array(loc), jnp.array(aw))
+    ref_g = jax.grad(
+        lambda v, l, a: msda_mod.ms_deform_attn(
+            v, shapes, l, a, impl="gather").sum(),
+        argnums=(0, 1, 2))(jnp.array(value), jnp.array(loc), jnp.array(aw))
+    for g, gr in zip(grads, ref_g):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(gr),
+                                   atol=1e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize("impl", IMPLS)
+def test_msda_exact_interior_point(rng, impl):
     # a sample exactly at a pixel center must return that pixel's value
     shapes = ((4, 4),)
     B, Q, H, D, P = 1, 1, 1, 2, 1
@@ -73,17 +117,19 @@ def test_msda_exact_interior_point(rng):
     # pixel (y=2, x=1): loc = (x + 0.5)/w, (y + 0.5)/h
     loc = np.array([(1 + 0.5) / 4, (2 + 0.5) / 4], np.float32).reshape(B, Q, H, 1, P, 2)
     aw = np.ones((B, Q, H, 1, P), np.float32)
-    out = ms_deform_attn(jnp.array(value), shapes, jnp.array(loc), jnp.array(aw))
+    out = ms_deform_attn(jnp.array(value), shapes, jnp.array(loc),
+                         jnp.array(aw), impl=impl)
     np.testing.assert_allclose(
         np.asarray(out)[0, 0], value[0, 2 * 4 + 1, 0], atol=1e-6
     )
 
 
-def test_msda_gradients_flow(rng):
+@pytest.mark.parametrize("impl", IMPLS)
+def test_msda_gradients_flow(rng, impl):
     value, shapes, loc, aw = make_inputs(rng, B=1, Q=3)
 
     def f(v, l, a):
-        return ms_deform_attn(v, shapes, l, a).sum()
+        return ms_deform_attn(v, shapes, l, a, impl=impl).sum()
 
     grads = jax.grad(f, argnums=(0, 1, 2))(
         jnp.array(value), jnp.array(loc), jnp.array(aw)
@@ -94,7 +140,8 @@ def test_msda_gradients_flow(rng):
     assert np.abs(np.asarray(grads[0])).sum() > 0
 
 
-def test_msda_numeric_grad_vs_torch(rng):
+@pytest.mark.parametrize("impl", IMPLS)
+def test_msda_numeric_grad_vs_torch(rng, impl):
     """Backward parity: JAX autodiff vs torch autograd through the oracle."""
     value, shapes, loc, aw = make_inputs(rng, B=1, Q=2, H=2, D=4,
                                          shapes=((3, 4), (2, 2)))
@@ -120,7 +167,7 @@ def test_msda_numeric_grad_vs_torch(rng):
     ref.sum().backward()
 
     def f(v, l, a):
-        return ms_deform_attn(v, shapes, l, a).sum()
+        return ms_deform_attn(v, shapes, l, a, impl=impl).sum()
 
     gv, gl_, ga = jax.grad(f, argnums=(0, 1, 2))(
         jnp.array(value), jnp.array(loc), jnp.array(aw)
