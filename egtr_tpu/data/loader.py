@@ -1,15 +1,26 @@
-"""Batching data loader with background prefetch.
+"""Batching data loader with parallel preprocessing and multi-host sharding.
 
-Replaces the reference's torch ``DataLoader(collate_fn)`` (train_egtr.py:
-624-640). Groups samples into static shape buckets (so each batch maps to
-one compiled program), pads targets, and prefetches batches on a background
-thread so host preprocessing overlaps device compute.
+Replaces the reference's torch ``DataLoader(collate_fn, num_workers=4)`` +
+``DistributedSampler`` pair (train_egtr.py:624-640). Groups samples into
+static shape buckets (so each batch maps to one compiled program), pads
+targets, decodes/augments on a thread pool (PIL decode and numpy resize
+release the GIL), and prefetches so host preprocessing overlaps device
+compute.
+
+Multi-host: every host iterates the SAME seeded global index order and
+takes its contiguous ``batch_size / process_count`` slice of each global
+batch — the sharding contract of torch's DistributedSampler, but sliced
+within the batch so global batch composition is identical to single-host.
+With more than one process the bucket is pinned to a fixed shape (largest
+bucket by default) because all hosts of one jit program must agree on the
+global array shape without exchanging per-sample metadata.
 """
 
 from __future__ import annotations
 
 import queue
 import threading
+from concurrent.futures import ThreadPoolExecutor
 from typing import Iterator, Optional, Sequence, Tuple
 
 import numpy as np
@@ -22,7 +33,12 @@ class Loader:
                  max_gt: int, num_rel_labels: int,
                  buckets: Optional[Sequence[Tuple[int, int]]] = None,
                  seed: int = 42, drop_last: bool = False,
-                 prefetch: int = 2):
+                 prefetch: int = 2, num_workers: int = 4,
+                 process_index: int = 0, process_count: int = 1,
+                 fixed_bucket: Optional[Tuple[int, int]] = None):
+        assert batch_size % max(process_count, 1) == 0, (
+            f"batch_size {batch_size} must divide evenly over "
+            f"{process_count} processes")
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -33,6 +49,12 @@ class Loader:
         self.seed = seed
         self.drop_last = drop_last
         self.prefetch = prefetch
+        self.num_workers = max(num_workers, 1)
+        self.process_index = process_index
+        self.process_count = max(process_count, 1)
+        if fixed_bucket is None and self.process_count > 1:
+            fixed_bucket = max(self.buckets, key=lambda b: b[0] * b[1])
+        self.fixed_bucket = fixed_bucket
         self._epoch = 0
 
     def __len__(self):
@@ -43,22 +65,30 @@ class Loader:
 
     def _make_batch(self, idxs):
         samples = [self.dataset[i] for i in idxs]
-        # one bucket for the whole batch: the max over samples
-        hs = max(s.image.shape[0] for s in samples)
-        ws = max(s.image.shape[1] for s in samples)
-        bucket = pick_bucket(hs, ws, self.buckets)
+        if self.fixed_bucket is not None:
+            bucket = self.fixed_bucket
+        else:
+            # one bucket for the whole batch: the max over samples
+            hs = max(s.image.shape[0] for s in samples)
+            ws = max(s.image.shape[1] for s in samples)
+            bucket = pick_bucket(hs, ws, self.buckets)
         return collate(samples, bucket, self.max_gt, self.num_rel_labels)
 
     def _index_batches(self):
+        """Global batches; every host sees the identical stream."""
         order = np.arange(len(self.dataset))
         if self.shuffle:
             rng = np.random.default_rng(self.seed + self._epoch)
             rng.shuffle(order)
+        per_host = self.batch_size // self.process_count
         for i in range(0, len(order), self.batch_size):
             idxs = order[i:i + self.batch_size]
-            if self.drop_last and len(idxs) < self.batch_size:
+            if len(idxs) < self.batch_size and (
+                    self.drop_last or self.process_count > 1):
+                # a partial global batch cannot be split evenly over hosts
                 return
-            yield idxs
+            lo = self.process_index * per_host
+            yield idxs[lo:lo + per_host] if self.process_count > 1 else idxs
 
     def __iter__(self) -> Iterator[dict]:
         self._epoch += 1
@@ -67,13 +97,24 @@ class Loader:
                 yield self._make_batch(idxs)
             return
 
+        # thread-pool preprocessing with an ordered bounded window: up to
+        # (prefetch + num_workers) batches in flight, yielded in order
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
 
         def producer():
             try:
-                for idxs in self._index_batches():
-                    q.put(self._make_batch(idxs))
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    window = self.prefetch + self.num_workers
+                    futures = []
+                    for idxs in self._index_batches():
+                        futures.append(pool.submit(self._make_batch, idxs))
+                        if len(futures) >= window:
+                            q.put(futures.pop(0).result())
+                    for f in futures:
+                        q.put(f.result())
+            except BaseException as e:  # surface worker errors to consumer
+                q.put(e)
             finally:
                 q.put(sentinel)
 
@@ -83,4 +124,6 @@ class Loader:
             item = q.get()
             if item is sentinel:
                 break
+            if isinstance(item, BaseException):
+                raise item
             yield item

@@ -191,6 +191,13 @@ class OIEvaluator:
         )
         self.results.append(r)
 
+    # --- multi-host merge (reference util/misc.py:93-135 analog) ---
+    def state(self) -> List[dict]:
+        return self.results
+
+    def merge_state(self, other: List[dict]) -> None:
+        self.results.extend(other)
+
     def _eval_rel(self) -> Dict[str, float]:
         topk, prd_k = self.topk, self.prd_k
         all_gt_cnt = 0

@@ -145,6 +145,16 @@ class SceneGraphEvaluator:
         return {f"R@{k}": float(np.mean(v)) if v else float("nan")
                 for k, v in self.recalls.items()}
 
+    # --- multi-host merge (reference merges per-rank results via pickle
+    #     all_gather, util/misc.py:93-135) ---
+    def state(self) -> Dict[int, List[float]]:
+        return self.recalls
+
+    def merge_state(self, other: Dict[int, List[float]]) -> None:
+        """Fold another host's per-image recalls into this accumulator."""
+        for k, v in other.items():
+            self.recalls.setdefault(k, []).extend(v)
+
 
 def evaluate_mean_recall(per_predicate: Dict[str, Dict[str, float]],
                          num_predicates: int) -> Dict[str, float]:

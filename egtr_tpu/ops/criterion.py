@@ -206,6 +206,13 @@ def relation_losses(pred_rel_logits, pred_conn_logits, targets,
     key_neg = key_nonm = None
     if rng is not None:
         key_neg, key_nonm = jax.random.split(rng)
+    elif (not cfg.rel_sample_negatives_largest
+          or not cfg.rel_sample_nonmatching_largest):
+        # uniform (largest=False) sampling needs randomness; fail loudly at
+        # trace time instead of crashing inside jax.random.uniform
+        raise ValueError(
+            "relation_losses: rng is required when rel_sample_*_largest is "
+            "False (uniform negative sampling)")
     false_mask = pair_matched[..., None] & (target_q != 1.0)
     nonm_mask = jnp.broadcast_to(
         (~pair_matched)[..., None], target_q.shape)
@@ -219,7 +226,14 @@ def relation_losses(pred_rel_logits, pred_conn_logits, targets,
     total = (sum_true + sum_neg + sum_nonm).sum()
     count = (n_true + k_neg + k_nonm).sum()
     loss_rel = total / jnp.maximum(count, 1)
-    return {"loss_rel": loss_rel, "loss_connectivity": loss_connectivity}
+    # Static top-k size caps sampled negatives at rel_sample_* *
+    # max_gt_rels per image; the reference caps only at the number of
+    # available candidates (egtr.py:848-907). The cap binds only for
+    # images with > max_gt_rels true relation entries — surface how often
+    # as a streamed metric so silent divergence is visible in training logs.
+    capped = (n_true > cfg.max_gt_rels).astype(jnp.float32).mean()
+    return {"loss_rel": loss_rel, "loss_connectivity": loss_connectivity,
+            "rel_sample_capped_frac": capped}
 
 
 def _enc_losses(outputs, targets, cfg: EgtrConfig, num_boxes_total,

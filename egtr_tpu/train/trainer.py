@@ -44,6 +44,15 @@ class MetricLogger:
             f.write(json.dumps(rec) + "\n")
 
 
+def _payload(state, best_val: float, epochs_no_improve: int, rng):
+    """Checkpoint payload: train state + early-stop/rng loop state."""
+    return {"state": state,
+            "loop": {"best_val": np.asarray(best_val, np.float64),
+                     "epochs_no_improve": np.asarray(epochs_no_improve,
+                                                     np.int64),
+                     "rng": np.asarray(rng)}}
+
+
 def fit(model, cfg: EgtrConfig, *, train_loader, val_loader, log_dir: str,
         task: str = "sgg", lr: float = 2e-6, lr_backbone: float = 2e-7,
         lr_initialized: Optional[float] = 2e-4, weight_decay: float = 1e-4,
@@ -68,15 +77,24 @@ def fit(model, cfg: EgtrConfig, *, train_loader, val_loader, log_dir: str,
             init_key, jax.numpy.asarray(batch0["pixel_values"][:1]))
     state = create_state(init_params, tx)
 
+    # checkpoint payload = train state + loop state, so a relaunch restores
+    # early-stopping counters and the sampling RNG too (the reference's
+    # Lightning resume restores trainer state, train_egtr.py:701-710)
+    best_val = float("inf")
+    epochs_no_improve = 0
     start_epoch = 0
     latest = ckpt.latest_step()
     if latest is not None:
-        state = ckpt.restore(state, latest)
+        payload = ckpt.restore(_payload(state, best_val, epochs_no_improve,
+                                        rng), latest)
+        state = payload["state"]
+        best_val = float(payload["loop"]["best_val"])
+        epochs_no_improve = int(payload["loop"]["epochs_no_improve"])
+        rng = jax.numpy.asarray(payload["loop"]["rng"])
         start_epoch = latest
-        print(f"[trainer] resumed from epoch {latest}")
-
-    best_val = float("inf")
-    epochs_no_improve = 0
+        print(f"[trainer] resumed from epoch {latest} "
+              f"(best_val={best_val:.4f}, "
+              f"epochs_no_improve={epochs_no_improve})")
 
     for epoch in range(start_epoch, max_epochs):
         t0 = time.time()
@@ -110,17 +128,20 @@ def fit(model, cfg: EgtrConfig, *, train_loader, val_loader, log_dir: str,
         print(f"[trainer] epoch {epoch}: validation_loss={val_loss:.4f} "
               f"({time.time() - t0:.0f}s, {n_steps} steps)")
 
-        ckpt.save(epoch + 1, state, metrics={"validation_loss": val_loss})
-
         if val_loss < best_val:
             best_val = val_loss
             epochs_no_improve = 0
         else:
             epochs_no_improve += 1
-            if epochs_no_improve >= patience:
-                print(f"[trainer] early stop at epoch {epoch} "
-                      f"(patience {patience})")
-                break
+
+        ckpt.save(epoch + 1, _payload(state, best_val, epochs_no_improve,
+                                      rng),
+                  metrics={"validation_loss": val_loss})
+
+        if epochs_no_improve >= patience:
+            print(f"[trainer] early stop at epoch {epoch} "
+                  f"(patience {patience})")
+            break
 
     return state
 
@@ -143,7 +164,9 @@ def two_phase_fit(model, cfg: EgtrConfig, *, log_dir: str,
                                                "checkpoints"))
     best = main_ckpt.best_step()
     if best is not None:
-        state = main_ckpt.restore(state, best)
+        payload = main_ckpt.restore(
+            _payload(state, float("inf"), 0, jax.random.PRNGKey(0)), best)
+        state = payload["state"]
         print(f"[trainer] finetune from best main epoch {best}")
 
     lr_init_ft = (lr_initialized * finetune_scale

@@ -39,6 +39,7 @@ def parse_args():
     p.add_argument("--max_gt_boxes", type=int, default=64)
     p.add_argument("--dp", type=int, default=None)
     p.add_argument("--mp", type=int, default=1)
+    p.add_argument("--num_workers", type=int, default=4)
     p.add_argument("--debug", type=str2bool, default=False)
     p.add_argument("--seed", type=int, default=42)
     return p.parse_args()
@@ -85,7 +86,10 @@ def main():
         * args.accumulate
     train_loader = Loader(train_ds, global_bs, shuffle=True,
                           max_gt=cfg.max_gt_boxes, num_rel_labels=num_rel,
-                          drop_last=True, seed=args.seed)
+                          drop_last=True, seed=args.seed,
+                          num_workers=args.num_workers,
+                          process_index=jax.process_index(),
+                          process_count=jax.process_count())
     val_loader = Loader(val_ds, global_bs // args.accumulate, shuffle=False,
                         max_gt=cfg.max_gt_boxes, num_rel_labels=num_rel)
 
@@ -105,7 +109,25 @@ def main():
     params = {"params": {"model": state.params["params"]}} \
         if "model" not in state.params["params"] else state.params
     save_pretrained(os.path.join(args.output_path, "artifact"), cfg, params)
-    print("[pretrain_detr] done; artifact saved")
+    print("[pretrain_detr] artifact saved")
+
+    # end-of-pretraining detection eval + JSON (pretrain_detr.py:500-542)
+    from egtr_tpu.evaluation.runner import evaluate_detection, write_metrics
+
+    if args.dataset == "visual_genome":
+        test_ds = VGDataset(args.data_path, "test", size=800, max_size=1333)
+    else:
+        test_ds = OIDataset(args.data_path, "test", size=800, max_size=1333)
+    test_loader = Loader(test_ds, 1, shuffle=False, max_gt=cfg.max_gt_boxes,
+                         num_rel_labels=num_rel)
+    eval_cfg = cfg.replace(dropout=0.0)
+    metrics = evaluate_detection(
+        DeformableDetrBase(eval_cfg), eval_cfg, state.params, test_loader,
+        categories=(sorted(test_ds.categories.keys())
+                    if hasattr(test_ds, "categories") else None))
+    write_metrics(metrics,
+                  os.path.join(args.output_path, "metrics_test.json"))
+    print("[pretrain_detr] done; test metrics written")
 
 
 if __name__ == "__main__":

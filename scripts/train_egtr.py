@@ -74,6 +74,7 @@ def parse_args():
     p.add_argument("--dp", type=int, default=None,
                    help="data-parallel size (default: all devices)")
     p.add_argument("--mp", type=int, default=1)
+    p.add_argument("--num_workers", type=int, default=4)
     p.add_argument("--debug", type=str2bool, default=False)
     p.add_argument("--seed", type=int, default=42)
     return p.parse_args()
@@ -138,7 +139,10 @@ def main():
 
     train_loader = Loader(train_ds, global_bs, shuffle=True,
                           max_gt=cfg.max_gt_boxes, drop_last=True,
-                          num_rel_labels=num_rel, seed=args.seed)
+                          num_rel_labels=num_rel, seed=args.seed,
+                          num_workers=args.num_workers,
+                          process_index=jax.process_index(),
+                          process_count=jax.process_count())
     val_loader = Loader(val_ds, global_bs // args.accumulate, shuffle=False,
                         max_gt=cfg.max_gt_boxes, num_rel_labels=num_rel)
 
@@ -173,7 +177,32 @@ def main():
 
     save_pretrained(os.path.join(args.output_path, "artifact"), cfg,
                     state.params)
-    print("[train_egtr] done; artifact saved")
+    print("[train_egtr] artifact saved")
+
+    # end-of-training test evaluation + metrics JSON next to the artifact
+    # (reference train_egtr.py:879-935)
+    from egtr_tpu.evaluation.runner import evaluate_sgg, write_metrics
+
+    if args.dataset == "visual_genome":
+        test_ds = VGDataset(args.data_path, "test", size=800, max_size=1333)
+        oi = None
+    else:
+        from egtr_tpu.evaluation.oi_eval import OIEvaluator
+        test_ds = OIDataset(args.data_path, "test", size=800, max_size=1333)
+        oi = OIEvaluator(test_ds.rel_categories, test_ds.ind_to_classes)
+    test_loader = Loader(test_ds, 1, shuffle=False, max_gt=cfg.max_gt_boxes,
+                         num_rel_labels=num_rel)
+    eval_cfg = cfg.replace(dropout=0.0)
+    metrics = evaluate_sgg(EgtrModel(eval_cfg), eval_cfg, state.params,
+                           test_loader, test_ds.rel_categories,
+                           coco_eval=(args.dataset == "visual_genome"),
+                           oi_evaluator=oi,
+                           categories=(sorted(test_ds.categories.keys())
+                                       if hasattr(test_ds, "categories")
+                                       else None))
+    write_metrics(metrics,
+                  os.path.join(args.output_path, "metrics_test.json"))
+    print("[train_egtr] done; test metrics written")
 
 
 if __name__ == "__main__":

@@ -122,3 +122,48 @@ def test_loader_batches(vg_dir):
         assert b["pixel_values"].shape == (2, 144, 256, 3)
         assert b["labels"]["num_boxes"].tolist() == [3, 3]
         assert b["labels"]["rel"].sum() == 2 * 2  # 2 rels per image
+
+
+def test_loader_multiworker_preserves_order(vg_dir):
+    ds = VGDataset(vg_dir, "train", size=128, max_size=256)
+    kw = dict(batch_size=2, shuffle=True, max_gt=6, num_rel_labels=4,
+              buckets=((144, 256),), seed=7)
+    serial = [b["image_id"].tolist()
+              for b in Loader(ds, prefetch=0, **kw)]
+    threaded = [b["image_id"].tolist()
+                for b in Loader(ds, prefetch=2, num_workers=4, **kw)]
+    assert serial == threaded and len(serial) == 2
+
+
+def test_loader_multihost_sharding(vg_dir):
+    """Two simulated hosts of one global batch: disjoint slices that
+    together reproduce the single-host batch, on an agreed fixed bucket
+    (VERDICT item 6 — DistributedSampler analog)."""
+    ds = VGDataset(vg_dir, "train", size=128, max_size=256)
+    kw = dict(batch_size=4, shuffle=True, max_gt=6, num_rel_labels=4,
+              buckets=((144, 256),), seed=3, prefetch=0)
+    full = [b["image_id"].tolist() for b in Loader(ds, **kw)]
+    host0 = Loader(ds, process_index=0, process_count=2, **kw)
+    host1 = Loader(ds, process_index=1, process_count=2, **kw)
+    b0, b1 = list(host0), list(host1)
+    assert len(b0) == len(b1) == len(full) == 1
+    assert b0[0]["pixel_values"].shape == (2, 144, 256, 3)
+    # per-host slices are the contiguous halves of the global batch
+    assert b0[0]["image_id"].tolist() + b1[0]["image_id"].tolist() == full[0]
+
+
+def test_loader_worker_error_propagates(vg_dir):
+    class Broken:
+        max_size = 256
+
+        def __len__(self):
+            return 4
+
+        def __getitem__(self, i):
+            raise RuntimeError("decode failed")
+
+    loader = Loader(Broken(), batch_size=2, shuffle=False, max_gt=6,
+                    num_rel_labels=4, buckets=((144, 256),), prefetch=2)
+    import pytest
+    with pytest.raises(RuntimeError, match="decode failed"):
+        list(loader)

@@ -77,6 +77,42 @@ def test_fit_checkpoints_and_resumes(tmp_path):
                  lr_initialized=1e-3, max_epochs=3, patience=5, log_every=1)
     assert int(state2.step) == 6  # resumed, one more epoch
 
+    # the checkpoint payload carries early-stop counters + rng so a
+    # relaunch continues the loop state (VERDICT weak #5)
+    import orbax.checkpoint as ocp
+
+    raw = ocp.StandardCheckpointer().restore(
+        os.path.join(log_dir, "checkpoints", "3", "default"))
+    assert {"state", "loop"} <= set(raw)
+    assert {"best_val", "epochs_no_improve", "rng"} <= set(raw["loop"])
+    assert np.isfinite(raw["loop"]["best_val"])
+
+
+def test_end_of_training_eval_writes_metrics_json(tmp_path):
+    """The end-of-training eval path (runner.evaluate_sgg + write_metrics)
+    produces R@k keys and a JSON file — reference train_egtr.py:879-935."""
+    from egtr_tpu.evaluation.runner import evaluate_sgg, write_metrics
+
+    ds = SyntheticDataset(n=4)
+    loader = Loader(ds, batch_size=2, shuffle=False, max_gt=3,
+                    num_rel_labels=4, buckets=((48, 64),), prefetch=0)
+    model = EgtrModel(TINY)
+    batch = next(iter(loader))
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.asarray(batch["pixel_values"][:1]))
+
+    metrics = evaluate_sgg(model, TINY, params, loader,
+                           rel_categories=["a", "b", "c", "d"],
+                           coco_eval=True)
+    assert any(k.startswith("single/R@") for k in metrics), metrics
+    assert any(k.startswith("single/mR@") for k in metrics), metrics
+    assert any(k.startswith("coco/") for k in metrics), metrics
+
+    out = str(tmp_path / "metrics_test.json")
+    write_metrics(metrics, out)
+    loaded = json.load(open(out))
+    assert any(k.startswith("single/R@") for k in loaded)
+
 
 def test_training_reduces_loss(tmp_path):
     """A few hundred steps on a fixed tiny batch must reduce total loss."""

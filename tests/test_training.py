@@ -105,19 +105,34 @@ def test_train_step_updates_only_trainable():
 
 
 def test_grad_accumulation_matches_single_batch():
-    """accum over 2 microbatches ~ one batch of both (same grads since the
-    loss normalizers differ only by per-microbatch num_boxes; check finite
-    and direction consistency instead of exact equality)."""
-    cfg = TINY
+    """accum=2 over [A,B | A,B] must equal one B=4 step numerically: the
+    per-microbatch loss normalizers (num_boxes, sampled-rel counts) are
+    equal by construction, so averaged microbatch grads == full-batch grads
+    (VERDICT weak #6)."""
+    cfg = TINY.replace(dropout=0.0)  # no dropout -> deterministic forward
     model = EgtrModel(cfg)
-    batch = make_batch(B=4)
+    half = make_batch(B=2)
+    # microbatch halves are identical -> identical normalizers
+    batch = jax.tree.map(
+        lambda x: np.concatenate([x, x], axis=0), half)
     params = model.init(jax.random.PRNGKey(0),
                         jnp.asarray(batch["pixel_values"][:1]))
     tx = make_optimizer(lr=1e-3, lr_backbone=1e-4)
     state = create_state(params, tx)
+
+    step1 = make_train_step(model, cfg, tx, accum_steps=1)
     step2 = make_train_step(model, cfg, tx, accum_steps=2)
-    new_state, metrics = step2(state, batch, jax.random.PRNGKey(1))
-    assert np.isfinite(float(metrics["total_loss"]))
+    s1, m1 = step1(state, batch, jax.random.PRNGKey(1))
+    s2, m2 = step2(state, batch, jax.random.PRNGKey(1))
+
+    assert np.isfinite(float(m1["total_loss"]))
+    np.testing.assert_allclose(float(m1["grad_norm"]), float(m2["grad_norm"]),
+                               rtol=1e-4)
+    flat1 = jax.tree_util.tree_leaves(s1.params)
+    flat2 = jax.tree_util.tree_leaves(s2.params)
+    for a, b in zip(flat1, flat2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-6, rtol=1e-4)
 
 
 def test_sharded_train_step_matches_single_device():
