@@ -245,6 +245,13 @@ class EncoderLayer(nn.Module):
         hidden_states = nn.Dropout(self.dropout)(hidden_states, deterministic)
         hidden_states = layer_norm(residual + hidden_states,
                                    "final_layer_norm", self.dtype)
+        if not deterministic and hidden_states.dtype == jnp.float16:
+            # fp16 overflow clamp (deformable_detr.py:1346-1351). bf16 — the
+            # TPU-native compute dtype — shares the fp32 exponent range, so
+            # the clamp is a no-op there and only applies when someone runs
+            # the model in fp16.
+            clamp = float(jnp.finfo(jnp.float16).max) - 1000.0
+            hidden_states = jnp.clip(hidden_states, -clamp, clamp)
         return hidden_states
 
 

@@ -64,14 +64,33 @@ def msda_pallas_supported() -> bool:
 
 
 def _row_tile(P: int) -> int:
-    # multiple of P (point-sum stays in-tile) and of 8 sublanes, ~512 rows
-    return max(_LANES * P, 128)
+    # multiple of P (point-sum stays in-tile) and of 8 sublanes; also the
+    # row-padding granularity of _level_inputs, so every per-kernel tile
+    # size below must divide this
+    return max(2 * _LANES * P, 256)
 
 
-def _row_tile_bwd(P: int) -> int:
-    # the backward kernel holds ~6 [TR, h_pad*D] f32 temporaries at once;
-    # half the forward tile keeps it inside the 16 MB VMEM budget
-    return max((_LANES // 2) * P, 64)
+def _fit_tile(P: int, N: int, n_bufs: int, budget=13 * 2 ** 20) -> int:
+    """Largest row tile (divisor of _row_tile) whose ~n_bufs live
+    [TR, N] f32 temporaries fit the VMEM budget. Coefficients calibrated
+    on-chip at N=2432: fwd TR=512 and bwd TR=256 compile; bwd TR=512
+    overflows (measured 21.9 MB scoped vs the 16 MB limit)."""
+    tr = _row_tile(P)
+    while tr > max(P, 8) and n_bufs * tr * N * 4 > budget:
+        tr //= 2
+    return max(tr, P)
+
+
+def _row_tile_fwd(P: int, N: int) -> int:
+    # forward keeps ~1 live [TR, N] f32 tile (T; stage 2 consumes it in
+    # static 128-lane slices, never materializing w2 or T*w2 full-width)
+    return _fit_tile(P, N, 1)
+
+
+def _row_tile_bwd(P: int, N: int) -> int:
+    # backward keeps ~4.5 live [TR, N] f32 temporaries (hy/g_tile/dT/T/Tg
+    # minus what Mosaic fuses); 5 is the safe integer envelope
+    return _fit_tile(P, N, 5)
 
 
 def _h_pad(h: int, D: int) -> int:
@@ -88,6 +107,7 @@ def _h_pad(h: int, D: int) -> int:
 def _fwd_kernel(ix_ref, iy_ref, aw_ref, vt_ref, out_ref, *, h, w, D, P, cdt):
     TR = ix_ref.shape[2]
     N = vt_ref.shape[3]  # h_pad * D
+    YG = _LANES // D     # y rows per 128-lane group
 
     ix = ix_ref[0, 0, :, 0][:, None]                       # [TR, 1] f32
     # NB: Mosaic iota must be integer-typed; cast afterwards
@@ -98,21 +118,22 @@ def _fwd_kernel(ix_ref, iy_ref, aw_ref, vt_ref, out_ref, *, h, w, D, P, cdt):
 
     iy = iy_ref[0, 0, :, 0][:, None]
     aw = aw_ref[0, 0, :, 0][:, None]
-    ylane = (lax.broadcasted_iota(jnp.int32, (TR, N), 1) // D).astype(
+    # stage 2: consume T in static 128-lane slices — the y-hat for slice g
+    # covers the YG rows y = g*YG..g*YG+YG-1 (lane = y*D + d), built from
+    # one 128-wide iota with a static per-slice offset; no full-width
+    # [TR, N] hat or product is ever materialized
+    ylane0 = (lax.broadcasted_iota(jnp.int32, (TR, _LANES), 1) // D).astype(
         jnp.float32)
-    w2 = jnp.maximum(0.0, 1.0 - jnp.abs(iy - ylane)) * aw   # [TR, N] f32
-
-    prod = T * w2
-    # fold N lanes -> 128 lanes (static 128-aligned partial sums)
-    acc = prod[:, :_LANES]
-    for g in range(1, N // _LANES):
-        acc = acc + prod[:, g * _LANES:(g + 1) * _LANES]
+    acc = jnp.zeros((TR, _LANES), jnp.float32)
+    for g in range(N // _LANES):
+        w2_g = jnp.maximum(0.0, 1.0 - jnp.abs(iy - (ylane0 + g * YG)))
+        acc = acc + T[:, g * _LANES:(g + 1) * _LANES] * w2_g
     # fold 128 lanes -> D lanes (y-slots within a lane group)
     s = acc[:, :D]
-    for c in range(1, _LANES // D):
+    for c in range(1, YG):
         s = s + acc[:, c * D:(c + 1) * D]
-    # point sum: [TR, D] -> [TQ, P, D] -> [TQ, D]
-    out_ref[0, 0] = s.reshape(TR // P, P, D).sum(axis=1)
+    # attention weight + point sum: [TR, D] -> [TQ, P, D] -> [TQ, D]
+    out_ref[0, 0] = (s * aw).reshape(TR // P, P, D).sum(axis=1)
 
 
 def _level_pallas_fwd(Vt, ix, iy, aw, *, h, w, D, P):
@@ -120,7 +141,8 @@ def _level_pallas_fwd(Vt, ix, iy, aw, *, h, w, D, P):
     Returns [B,H,Q_pad,D] f32."""
     B, H, _, N = Vt.shape
     R_pad = ix.shape[2]
-    TR = _row_tile(P)
+    TR = _row_tile_fwd(P, N)
+    assert R_pad % TR == 0  # _level_inputs pads to _row_tile, a multiple
     n_tiles = R_pad // TR
     TQ = TR // P
 
@@ -207,7 +229,7 @@ def _level_pallas_bwd(Vt, VtT, ix, iy, aw, g, *, h, w, D, P):
     """g: [B,H,Q_pad,D] f32. Returns (dVt f32, dix, diy, daw [B,H,R_pad,1])."""
     B, H, _, N = Vt.shape
     R_pad = ix.shape[2]
-    TR = _row_tile_bwd(P)
+    TR = _row_tile_bwd(P, N)
     assert R_pad % TR == 0  # forward pads to _row_tile, a multiple of this
     n_tiles = R_pad // TR
     TQ = TR // P

@@ -197,3 +197,90 @@ def test_evaluator_multihost_merge():
 
     # single-process gather short-circuits
     assert all_gather_objects({"x": 1}) == [{"x": 1}]
+
+
+# ---------------------------------------------------------------------------
+# COCO-protocol golden cases (VERDICT item 7). pycocotools is not available
+# in this container, so instead of a generated fixture these pin hand-derived
+# values of the published COCOeval bbox protocol: 101-point interpolation,
+# crowd/area ignores, maxDets truncation, and score ordering. Each expected
+# number is derivable by hand from the protocol definition
+# (reference consumer: lib/evaluation/coco_eval.py:216-264).
+# ---------------------------------------------------------------------------
+
+
+def _one_image(gt_boxes, gt_labels, det_boxes, det_scores, det_labels,
+               iscrowd=None, cats=(1,)):
+    m = CocoMAP(list(cats))
+    gt = dict(boxes=np.array(gt_boxes, float),
+              labels=np.array(gt_labels))
+    if iscrowd is not None:
+        gt["iscrowd"] = np.array(iscrowd)
+    m.add_image(0, gt,
+                dict(boxes=np.array(det_boxes, float),
+                     scores=np.array(det_scores, float),
+                     labels=np.array(det_labels)))
+    return m.accumulate()
+
+
+def test_coco_golden_trailing_fp_keeps_ap1():
+    # TP at higher score, FP after: precision at every recall point is 1.0
+    s = _one_image([[0, 0, 10, 10]], [1],
+                   [[0, 0, 10, 10], [50, 50, 60, 60]], [0.9, 0.1], [1, 1])
+    assert s["AP"] == 1.0 and s["AP50"] == 1.0 and s["AR@100"] == 1.0
+
+
+def test_coco_golden_leading_fp_halves_ap():
+    # FP ranked above the TP: precision at full recall is 1/2 everywhere
+    s = _one_image([[0, 0, 10, 10]], [1],
+                   [[50, 50, 60, 60], [0, 0, 10, 10]], [0.9, 0.8], [1, 1])
+    assert np.isclose(s["AP"], 0.5) and np.isclose(s["AP50"], 0.5)
+    assert s["AR@100"] == 1.0
+
+
+def test_coco_golden_iou_band():
+    # det IoU = 0.6 exactly: matches at t in {0.50, 0.55, 0.60} -> AP = 3/10
+    s = _one_image([[0, 0, 10, 10]], [1],
+                   [[0, 0, 10, 6]], [0.9], [1])
+    assert np.isclose(s["AP"], 0.3)
+    assert s["AP50"] == 1.0 and s["AP75"] == 0.0
+    assert np.isclose(s["AR@100"], 0.3)
+
+
+def test_coco_golden_crowd_ignored():
+    # det matching a crowd gt is ignored (neither TP nor FP); the clean
+    # gt+det pair still yields AP 1.0 with npos = 1
+    s = _one_image([[0, 0, 10, 10], [20, 0, 30, 10]], [1, 1],
+                   [[0, 0, 10, 10], [20, 0, 25, 10]], [0.9, 0.8], [1, 1],
+                   iscrowd=[0, 1])
+    assert s["AP"] == 1.0 and s["AR@100"] == 1.0
+
+
+def test_coco_golden_area_range_ignores():
+    # a 100px^2 gt is 'small': medium/large have no targets -> -1 sentinel
+    s = _one_image([[0, 0, 10, 10]], [1], [[0, 0, 10, 10]], [0.9], [1])
+    assert s["APs"] == 1.0 and s["APm"] == -1.0 and s["APl"] == -1.0
+
+
+def test_coco_golden_maxdets_truncation():
+    # two perfect dets on two gts: AR@1 only sees the top-scored one
+    s = _one_image([[0, 0, 10, 10], [20, 0, 30, 10]], [1, 1],
+                   [[0, 0, 10, 10], [20, 0, 30, 10]], [0.9, 0.8], [1, 1])
+    assert s["AR@1"] == 0.5 and s["AR@10"] == 1.0 and s["AP"] == 1.0
+
+
+def test_coco_golden_multi_image_score_interleave():
+    # FP (0.85) from image 1 ranks between image 0's TPs (0.9) and image
+    # 1's TP (0.8): global PR curve = [1, 1/2, 2/3] at recalls [.5, .5, 1]
+    # -> interpolated precision: 1.0 for r<=0.5, 2/3 above -> AP =
+    # (51*1.0 + 50*(2/3)) / 101
+    m = CocoMAP([1])
+    m.add_image(0, dict(boxes=np.array([[0., 0, 10, 10]]), labels=[1]),
+                dict(boxes=np.array([[0., 0, 10, 10]]), scores=[0.9],
+                     labels=[1]))
+    m.add_image(1, dict(boxes=np.array([[0., 0, 10, 10]]), labels=[1]),
+                dict(boxes=np.array([[0., 0, 10, 10], [50., 50, 60, 60]]),
+                     scores=[0.8, 0.85], labels=[1, 1]))
+    s = m.accumulate()
+    expected = (51 * 1.0 + 50 * (2.0 / 3.0)) / 101
+    assert np.isclose(s["AP"], expected), (s["AP"], expected)

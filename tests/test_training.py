@@ -117,7 +117,12 @@ def test_grad_accumulation_matches_single_batch():
         lambda x: np.concatenate([x, x], axis=0), half)
     params = model.init(jax.random.PRNGKey(0),
                         jnp.asarray(batch["pixel_values"][:1]))
-    tx = make_optimizer(lr=1e-3, lr_backbone=1e-4)
+    # plain SGD at lr=1 so (params_before - params_after) IS the gradient —
+    # Adam's grad/sqrt(v) would amplify fp32 summation-order noise into
+    # spurious relative mismatches on near-zero entries
+    import optax
+
+    tx = optax.sgd(learning_rate=1.0)
     state = create_state(params, tx)
 
     step1 = make_train_step(model, cfg, tx, accum_steps=1)
@@ -128,11 +133,16 @@ def test_grad_accumulation_matches_single_batch():
     assert np.isfinite(float(m1["total_loss"]))
     np.testing.assert_allclose(float(m1["grad_norm"]), float(m2["grad_norm"]),
                                rtol=1e-4)
-    flat1 = jax.tree_util.tree_leaves(s1.params)
-    flat2 = jax.tree_util.tree_leaves(s2.params)
-    for a, b in zip(flat1, flat2):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   atol=2e-6, rtol=1e-4)
+    trips = [(np.asarray(p0) - np.asarray(a), np.asarray(p0) - np.asarray(b))
+             for (p0, a, b) in zip(jax.tree_util.tree_leaves(params),
+                                   jax.tree_util.tree_leaves(s1.params),
+                                   jax.tree_util.tree_leaves(s2.params))]
+    # compare at a GLOBAL gradient scale — per-leaf normalization would
+    # amplify fp32 summation noise on near-zero-gradient leaves (buffers)
+    scale = max(np.abs(g1).max() for g1, _ in trips)
+    assert scale > 0
+    for g1, g2 in trips:
+        np.testing.assert_allclose(g1 / scale, g2 / scale, atol=1e-4)
 
 
 def test_sharded_train_step_matches_single_device():
