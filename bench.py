@@ -8,8 +8,11 @@ batched-serving throughput at the same resolution (amortizes the ~27 ms
 axon dispatch+fetch overhead that dominates batch-1 on this tunnel).
 
 The forward includes device-side top-k triplet extraction (the deployment
-path) and forces a host fetch of the small top-k outputs each iteration so
-the axon tunnel's lazy sync cannot fake timings.
+path) and fetches the packed top-k outputs for every image. The headline
+loop is pipelined depth-2 (dispatch step i, then fetch step i-1) — the
+reference protocol loop has no per-step sync at all, so overlapping the
+tunnel round-trip with device compute is the apples-to-apples comparison;
+``strict_sync_fps`` reports the fully-synchronous per-image latency view.
 """
 
 import argparse
@@ -54,14 +57,34 @@ def _build(cfg_kw, batch, H, W):
     return params, x, infer
 
 
-def _time_fps(params, x, infer, iters, warmup):
+def _time_fps(params, x, infer, iters, warmup, pipelined=True):
+    """Wall-clock a forward loop, fetching every result to host.
+
+    The reference protocol loop (evaluate_egtr.py:27-36) never syncs
+    inside the loop — it is wall-clocked with dispatch and compute fully
+    overlapped. ``pipelined=True`` matches that: step i is dispatched
+    before step i-1's (packed, ~30 KB) result is fetched, so the axon
+    tunnel round-trip (~27 ms) overlaps device compute instead of
+    serializing with it. Every result is still materialized on host
+    inside the timed region. ``pipelined=False`` fully syncs each
+    iteration (reported as ``strict_sync_fps``).
+    """
     for _ in range(max(warmup, 1)):
         np.asarray(infer(params, x))
+    if not pipelined:
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            np.asarray(infer(params, x))
+        return x.shape[0] * iters / (time.perf_counter() - t0)
+    prev = None
     t0 = time.perf_counter()
     for _ in range(iters):
-        np.asarray(infer(params, x))  # single packed fetch (~30 KB)
-    dt = (time.perf_counter() - t0) / iters
-    return x.shape[0] / dt
+        cur = infer(params, x)
+        if prev is not None:
+            np.asarray(prev)
+        prev = cur
+    np.asarray(prev)
+    return x.shape[0] * iters / (time.perf_counter() - t0)
 
 
 def main():
@@ -84,12 +107,14 @@ def main():
 
     params, x, infer = _build(cfg_kw, 1, H, W)
     fps = _time_fps(params, x, infer, args.iters, args.warmup)
+    strict = _time_fps(params, x, infer, args.iters, 1, pipelined=False)
 
     result = {
         "metric": "egtr_inference_fps_600x1000_b1",
         "value": round(fps, 3),
         "unit": "img/s",
         "vs_baseline": round(fps / BASELINE_FPS, 3),
+        "strict_sync_fps": round(strict, 3),
     }
 
     if args.batch8:

@@ -9,44 +9,46 @@ custom VJP recomputes the hat vectors in the backward pass from the raw
 reference CUDA kernel achieves the same by re-deriving bilinear weights in
 col2im (ms_deform_im2col_cuda.cuh:324-434).
 
-Kernel layout per level (static spatial shape (h, w), head dim D):
+Layout: queries live on the LANE axis. Sampling rows are shipped as
+[B, H, P, Q_pad] (query minor) and values as ``VtT [B, H, h*D, w]`` so
+every kernel operand has a wide, dense minor dimension. The previous
+row-on-sublane layout ([B, H, Q*P, 1]) forced XLA to relayout each operand
+into a 128x lane-padded form before every pallas call — 72 layout copies
+~ 30 ms/image at 600x1000, measured — and required padding h so h*D hit a
+lane multiple. With q on lanes both problems vanish: no relayout copies,
+and h*D only needs the free sublane granularity.
 
-  grid = (B, H, row_tiles); rows r enumerate (query, point) pairs, point
-  minor, padded to a tile multiple with zero attention weight.
+Kernel per level (static spatial shape (h, w), head dim D, N = h*D):
 
-  forward tile:
-    hx  = relu(1 - |ix_r - iota_x|)            [TR, w]   (VPU, analytic)
-    T   = hx @ Vt                              [TR, h'D] (MXU; Vt = x-major
-                                                          values, h padded
-                                                          so h'D % 128 == 0)
-    w2  = relu(1 - |iy_r - lane//D|) * aw_r    [TR, h'D] (VPU, built at full
-                                                          lane width - no
-                                                          repeat/reshape)
-    out = fold(T * w2)                         [TQ, D]   (static 128-lane
-                                                          partial sums, then
-                                                          a point-sum over
-                                                          the sublane axis)
+  grid = (B, H, q_tiles); each step covers TQ queries x all P points.
 
-  backward tile (3 plain MXU dots, all standard orientation):
-    dT   = w2 * tile(g)          dVt += hxT @ dT        dhx = dT @ VtT
-    dix  = sum_x dhx * d(hx)/d(ix)   (VPU row reduce)
-    T    = hx @ Vt (recomputed)      daw/diy = full-lane VPU reduces
+  forward step (loop over p):
+    hxT = relu(1 - |ix_p - iota_rows|)          [w, TQ]   (VPU, analytic)
+    T_p = VtT @ hxT                             [N, TQ]   (MXU)
+    hy  = relu(1 - |iy_p - sublane//D|)         [N, TQ]   (VPU)
+    acc += T_p * hy * aw_p
+  out = acc.reshape(h, D, TQ).sum(0)            [D, TQ]   (sublane fold)
 
-All in-kernel ops are iota/compare/multiply/static-slice/plain-dot — no
-dynamic indexing, which Mosaic cannot lower on TPU (measured round 1).
+  backward step (3 MXU dots per point; NT/TN contractions are native):
+    dT    = hy * aw_p * tile(g)                 [N, TQ]
+    dVtT += dT @ hxT^T                          (NT dot)
+    dhxT  = VtT^T @ dT                          (TN dot)
+    dix   = sum_n dhxT * d(hxT)/d(ix)           (sublane reduce)
+    T     = VtT @ hxT (recomputed); daw/diy are sublane reduces of T*g.
+
+All in-kernel ops are iota/compare/multiply/static-slice/dot — no dynamic
+indexing, which Mosaic cannot lower on TPU (measured round 1).
 """
 
 from __future__ import annotations
 
 import functools
-import math
 from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 # Set True to run kernels through the Pallas interpreter (CPU testing).
 INTERPRET = False
@@ -63,232 +65,196 @@ def msda_pallas_supported() -> bool:
     return INTERPRET or jax.default_backend() != "cpu"
 
 
-def _row_tile(P: int) -> int:
-    # multiple of P (point-sum stays in-tile) and of 8 sublanes; also the
-    # row-padding granularity of _level_inputs, so every per-kernel tile
-    # size below must divide this
-    return max(2 * _LANES * P, 256)
+def _fit_tile(N: int, n_bufs: int, budget=12 * 2 ** 20) -> int:
+    """Largest query tile (multiple of 128 lanes) whose ~n_bufs live
+    [N, TQ] f32 temporaries fit the VMEM budget."""
+    tq = 4 * _LANES
+    while tq > _LANES and n_bufs * tq * N * 4 > budget:
+        tq //= 2
+    return max(tq, _LANES)
 
 
-def _fit_tile(P: int, N: int, n_bufs: int, budget=13 * 2 ** 20) -> int:
-    """Largest row tile (divisor of _row_tile) whose ~n_bufs live
-    [TR, N] f32 temporaries fit the VMEM budget. Coefficients calibrated
-    on-chip at N=2432: fwd TR=512 and bwd TR=256 compile; bwd TR=512
-    overflows (measured 21.9 MB scoped vs the 16 MB limit)."""
-    tr = _row_tile(P)
-    while tr > max(P, 8) and n_bufs * tr * N * 4 > budget:
-        tr //= 2
-    return max(tr, P)
+def _tq_fwd(N: int) -> int:
+    # forward keeps ~3 live [N, TQ] f32 temporaries (acc, T_p, hy)
+    return _fit_tile(N, 3)
 
 
-def _row_tile_fwd(P: int, N: int) -> int:
-    # forward keeps ~1 live [TR, N] f32 tile (T; stage 2 consumes it in
-    # static 128-lane slices, never materializing w2 or T*w2 full-width)
-    return _fit_tile(P, N, 1)
-
-
-def _row_tile_bwd(P: int, N: int) -> int:
-    # backward keeps ~4.5 live [TR, N] f32 temporaries (hy/g_tile/dT/T/Tg
-    # minus what Mosaic fuses); 5 is the safe integer envelope
-    return _fit_tile(P, N, 5)
-
-
-def _h_pad(h: int, D: int) -> int:
-    """Pad h so h_pad * D is a multiple of 128 (static 128-lane folds)."""
-    assert _LANES % D == 0, f"head dim {D} must divide {_LANES}"
-    m = _LANES // math.gcd(D, _LANES)
-    return -(-h // m) * m
+def _tq_bwd(N: int) -> int:
+    # backward keeps ~8 live [N, TQ] f32 temporaries
+    # (g_tile, ysub, hy, dT, T, Tg, dvtt acc, fusion slack)
+    return _fit_tile(N, 8)
 
 
 # --------------------------------------------------------------------------
 # forward
 # --------------------------------------------------------------------------
 
-def _fwd_kernel(ix_ref, iy_ref, aw_ref, vt_ref, out_ref, *, h, w, D, P, cdt):
-    TR = ix_ref.shape[2]
-    N = vt_ref.shape[3]  # h_pad * D
-    YG = _LANES // D     # y rows per 128-lane group
+def _fwd_kernel(ix_ref, iy_ref, aw_ref, vtt_ref, out_ref, *, h, w, D, P, cdt):
+    N = vtt_ref.shape[2]                                   # h * D
+    TQ = ix_ref.shape[3]
 
-    ix = ix_ref[0, 0, :, 0][:, None]                       # [TR, 1] f32
-    # NB: Mosaic iota must be integer-typed; cast afterwards
-    cols = lax.broadcasted_iota(jnp.int32, (TR, w), 1).astype(jnp.float32)
-    hx = jnp.maximum(0.0, 1.0 - jnp.abs(ix - cols)).astype(cdt)
-
-    T = jnp.dot(hx, vt_ref[0, 0], preferred_element_type=jnp.float32)
-
-    iy = iy_ref[0, 0, :, 0][:, None]
-    aw = aw_ref[0, 0, :, 0][:, None]
-    # stage 2: consume T in static 128-lane slices — the y-hat for slice g
-    # covers the YG rows y = g*YG..g*YG+YG-1 (lane = y*D + d), built from
-    # one 128-wide iota with a static per-slice offset; no full-width
-    # [TR, N] hat or product is ever materialized
-    ylane0 = (lax.broadcasted_iota(jnp.int32, (TR, _LANES), 1) // D).astype(
+    xsub = lax.broadcasted_iota(jnp.int32, (w, TQ), 0).astype(jnp.float32)
+    ysub = (lax.broadcasted_iota(jnp.int32, (N, TQ), 0) // D).astype(
         jnp.float32)
-    acc = jnp.zeros((TR, _LANES), jnp.float32)
-    for g in range(N // _LANES):
-        w2_g = jnp.maximum(0.0, 1.0 - jnp.abs(iy - (ylane0 + g * YG)))
-        acc = acc + T[:, g * _LANES:(g + 1) * _LANES] * w2_g
-    # fold 128 lanes -> D lanes (y-slots within a lane group)
-    s = acc[:, :D]
-    for c in range(1, YG):
-        s = s + acc[:, c * D:(c + 1) * D]
-    # attention weight + point sum: [TR, D] -> [TQ, P, D] -> [TQ, D]
-    out_ref[0, 0] = (s * aw).reshape(TR // P, P, D).sum(axis=1)
+
+    acc = jnp.zeros((N, TQ), jnp.float32)
+    for p in range(P):
+        ixp = ix_ref[0, 0, p, :][None, :]                  # [1, TQ]
+        iyp = iy_ref[0, 0, p, :][None, :]
+        awp = aw_ref[0, 0, p, :][None, :]
+        hxT = jnp.maximum(0.0, 1.0 - jnp.abs(ixp - xsub)).astype(cdt)
+        Tp = jnp.dot(vtt_ref[0, 0], hxT,
+                     preferred_element_type=jnp.float32)   # [N, TQ]
+        hy = jnp.maximum(0.0, 1.0 - jnp.abs(iyp - ysub))
+        acc = acc + Tp * (hy * awp)
+    # fold y (sublane groups of D): [h*D, TQ] -> [D, TQ]
+    out_ref[0, 0] = acc.reshape(h, D, TQ).sum(axis=0)
 
 
-def _level_pallas_fwd(Vt, ix, iy, aw, *, h, w, D, P):
-    """Vt: [B,H,w,h_pad*D] (compute dtype); ix/iy/aw: [B,H,R_pad,1] f32.
-    Returns [B,H,Q_pad,D] f32."""
-    B, H, _, N = Vt.shape
-    R_pad = ix.shape[2]
-    TR = _row_tile_fwd(P, N)
-    assert R_pad % TR == 0  # _level_inputs pads to _row_tile, a multiple
-    n_tiles = R_pad // TR
-    TQ = TR // P
+def _level_pallas_fwd(VtT, ix, iy, aw, *, h, w, D, P):
+    """VtT: [B,H,h*D,w] (compute dtype); ix/iy/aw: [B,H,P,Q_pad] f32.
+    Returns [B,H,D,Q_pad] f32."""
+    B, H, N, _ = VtT.shape
+    Q_pad = ix.shape[3]
+    TQ = _tq_fwd(N)
+    assert Q_pad % TQ == 0  # _level_inputs pads to the tile returned here
+    n_tiles = Q_pad // TQ
 
-    kern = functools.partial(_fwd_kernel, h=h, w=w, D=D, P=P, cdt=Vt.dtype)
+    kern = functools.partial(_fwd_kernel, h=h, w=w, D=D, P=P, cdt=VtT.dtype)
+    rows_spec = pl.BlockSpec((1, 1, P, TQ), lambda b, hh, t: (b, hh, 0, t))
     return pl.pallas_call(
         kern,
         grid=(B, H, n_tiles),
         in_specs=[
-            pl.BlockSpec((1, 1, TR, 1), lambda b, hh, t: (b, hh, t, 0)),
-            pl.BlockSpec((1, 1, TR, 1), lambda b, hh, t: (b, hh, t, 0)),
-            pl.BlockSpec((1, 1, TR, 1), lambda b, hh, t: (b, hh, t, 0)),
-            pl.BlockSpec((1, 1, w, N), lambda b, hh, t: (b, hh, 0, 0)),
+            rows_spec, rows_spec, rows_spec,
+            pl.BlockSpec((1, 1, N, w), lambda b, hh, t: (b, hh, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, 1, TQ, D), lambda b, hh, t: (b, hh, t, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, H, R_pad // P, D), jnp.float32),
+        out_specs=pl.BlockSpec((1, 1, D, TQ), lambda b, hh, t: (b, hh, 0, t)),
+        out_shape=jax.ShapeDtypeStruct((B, H, D, Q_pad), jnp.float32),
         interpret=_interpret(),
-    )(ix, iy, aw, Vt)
+    )(ix, iy, aw, VtT)
 
 
 # --------------------------------------------------------------------------
 # backward
 # --------------------------------------------------------------------------
 
-def _bwd_kernel(ix_ref, iy_ref, aw_ref, vt_ref, vtt_ref, g_ref,
-                dvt_ref, dix_ref, diy_ref, daw_ref, *, h, w, D, P, cdt):
-    TR = ix_ref.shape[2]
-    N = vt_ref.shape[3]
-    TQ = TR // P
+def _bwd_kernel(ix_ref, iy_ref, aw_ref, vtt_ref, g_ref,
+                dvtt_ref, dix_ref, diy_ref, daw_ref, *, h, w, D, P, cdt):
+    N = vtt_ref.shape[2]
+    TQ = ix_ref.shape[3]
     t = pl.program_id(2)
 
-    ix = ix_ref[0, 0, :, 0][:, None]
-    iy = iy_ref[0, 0, :, 0][:, None]
-    aw = aw_ref[0, 0, :, 0][:, None]
-
-    cols = lax.broadcasted_iota(jnp.int32, (TR, w), 1).astype(jnp.float32)
-    zx = ix - cols
-    hx = jnp.maximum(0.0, 1.0 - jnp.abs(zx))                 # [TR, w] f32
-    # transposed hat, built directly (no in-kernel transpose)
-    colsT = lax.broadcasted_iota(jnp.int32, (w, TR), 0).astype(jnp.float32)
-    ixT = ix_ref[0, 0, :, 0][None, :]
-    hxT = jnp.maximum(0.0, 1.0 - jnp.abs(ixT - colsT)).astype(cdt)
-
-    ylane = (lax.broadcasted_iota(jnp.int32, (TR, N), 1) // D).astype(
+    xsub = lax.broadcasted_iota(jnp.int32, (w, TQ), 0).astype(jnp.float32)
+    ysub = (lax.broadcasted_iota(jnp.int32, (N, TQ), 0) // D).astype(
         jnp.float32)
-    zy = iy - ylane
-    hy = jnp.maximum(0.0, 1.0 - jnp.abs(zy))                 # [TR, N] f32
 
-    # rows' upstream grad: [TQ, D] -> [TR, D] (sublane broadcast over points)
-    g = g_ref[0, 0].astype(jnp.float32)                      # [TQ, D]
-    g_rows = jnp.broadcast_to(g[:, None, :], (TQ, P, D)).reshape(TR, D)
-    # tile along lanes with period D: g_tile[r, y*D+d] = g_rows[r, d]
-    g_tile = jnp.concatenate([g_rows] * (N // D), axis=1)    # [TR, N]
+    g = g_ref[0, 0].astype(jnp.float32)                    # [D, TQ]
+    g_tile = jnp.broadcast_to(g[None], (h, D, TQ)).reshape(N, TQ)
 
-    dT = hy * aw * g_tile                                    # [TR, N] f32
+    dvtt = jnp.zeros((N, w), jnp.float32)
+    for p in range(P):
+        ixp = ix_ref[0, 0, p, :][None, :]
+        iyp = iy_ref[0, 0, p, :][None, :]
+        awp = aw_ref[0, 0, p, :][None, :]
 
-    # dVt accumulation across row tiles (output block constant over t)
-    contrib = jnp.dot(hxT, dT.astype(cdt),
-                      preferred_element_type=jnp.float32)    # [w, N]
+        zx = ixp - xsub                                    # [w, TQ]
+        hxT = jnp.maximum(0.0, 1.0 - jnp.abs(zx))
+        zy = iyp - ysub                                    # [N, TQ]
+        hy = jnp.maximum(0.0, 1.0 - jnp.abs(zy))
+
+        dT = hy * awp * g_tile                             # [N, TQ] f32
+
+        # dVtT += dT @ hxT^T  (contract the query lanes of both — NT)
+        dvtt = dvtt + lax.dot_general(
+            dT.astype(cdt), hxT.astype(cdt), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)            # [N, w]
+
+        # dhxT = VtT^T @ dT  (contract the N sublanes of both — TN)
+        dhxT = lax.dot_general(
+            vtt_ref[0, 0], dT.astype(cdt), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)            # [w, TQ]
+        ghx = jnp.where(jnp.abs(zx) < 1.0, -jnp.sign(zx), 0.0)
+        dix_ref[0, 0, pl.ds(p, 1), :] = jnp.sum(
+            dhxT * ghx, axis=0, keepdims=True)
+
+        # recompute T for the weight/iy grads
+        T = jnp.dot(vtt_ref[0, 0], hxT.astype(cdt),
+                    preferred_element_type=jnp.float32)    # [N, TQ]
+        Tg = T * g_tile
+        daw_ref[0, 0, pl.ds(p, 1), :] = jnp.sum(
+            hy * Tg, axis=0, keepdims=True)
+        ghy = jnp.where(jnp.abs(zy) < 1.0, -jnp.sign(zy), 0.0)
+        diy_ref[0, 0, pl.ds(p, 1), :] = jnp.sum(
+            awp * ghy * Tg, axis=0, keepdims=True)
 
     @pl.when(t == 0)
     def _():
-        dvt_ref[0, 0] = contrib
+        dvtt_ref[0, 0] = dvtt
 
     @pl.when(t != 0)
     def _():
-        dvt_ref[0, 0] = dvt_ref[0, 0] + contrib
-
-    # dhx = dT @ VtT : [TR, N] @ [N, w]
-    dhx = jnp.dot(dT.astype(cdt), vtt_ref[0, 0],
-                  preferred_element_type=jnp.float32)        # [TR, w]
-    ghx = jnp.where(jnp.abs(zx) < 1.0, -jnp.sign(zx), 0.0)
-    dix_ref[0, 0] = jnp.sum(dhx * ghx, axis=1, keepdims=True)
-
-    # recompute T for the weight/iy grads
-    T = jnp.dot(hx.astype(cdt), vt_ref[0, 0],
-                preferred_element_type=jnp.float32)          # [TR, N]
-    Tg = T * g_tile
-    daw_ref[0, 0] = jnp.sum(hy * Tg, axis=1, keepdims=True)
-    ghy = jnp.where(jnp.abs(zy) < 1.0, -jnp.sign(zy), 0.0)
-    diy_ref[0, 0] = jnp.sum(aw * ghy * Tg, axis=1, keepdims=True)
+        dvtt_ref[0, 0] = dvtt_ref[0, 0] + dvtt
 
 
-def _level_pallas_bwd(Vt, VtT, ix, iy, aw, g, *, h, w, D, P):
-    """g: [B,H,Q_pad,D] f32. Returns (dVt f32, dix, diy, daw [B,H,R_pad,1])."""
-    B, H, _, N = Vt.shape
-    R_pad = ix.shape[2]
-    TR = _row_tile_bwd(P, N)
-    assert R_pad % TR == 0  # forward pads to _row_tile, a multiple of this
-    n_tiles = R_pad // TR
-    TQ = TR // P
+def _level_pallas_bwd(VtT, ix, iy, aw, g, *, h, w, D, P):
+    """g: [B,H,D,Q_pad] f32. Returns (dVtT f32 [B,H,h*D,w],
+    dix/diy/daw f32 [B,H,P,Q_pad])."""
+    B, H, N, _ = VtT.shape
+    Q_pad = ix.shape[3]
+    TQ = _tq_bwd(N)
+    assert Q_pad % TQ == 0  # forward pads to _tq_fwd, a multiple of this
+    n_tiles = Q_pad // TQ
 
-    kern = functools.partial(_bwd_kernel, h=h, w=w, D=D, P=P, cdt=Vt.dtype)
-    rows_spec = pl.BlockSpec((1, 1, TR, 1), lambda b, hh, t: (b, hh, t, 0))
+    kern = functools.partial(_bwd_kernel, h=h, w=w, D=D, P=P, cdt=VtT.dtype)
+    rows_spec = pl.BlockSpec((1, 1, P, TQ), lambda b, hh, t: (b, hh, 0, t))
     return pl.pallas_call(
         kern,
         grid=(B, H, n_tiles),
         in_specs=[
             rows_spec, rows_spec, rows_spec,
-            pl.BlockSpec((1, 1, w, N), lambda b, hh, t: (b, hh, 0, 0)),
             pl.BlockSpec((1, 1, N, w), lambda b, hh, t: (b, hh, 0, 0)),
-            pl.BlockSpec((1, 1, TQ, D), lambda b, hh, t: (b, hh, t, 0)),
+            pl.BlockSpec((1, 1, D, TQ), lambda b, hh, t: (b, hh, 0, t)),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, w, N), lambda b, hh, t: (b, hh, 0, 0)),
+            pl.BlockSpec((1, 1, N, w), lambda b, hh, t: (b, hh, 0, 0)),
             rows_spec, rows_spec, rows_spec,
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, H, w, N), jnp.float32),
-            jax.ShapeDtypeStruct((B, H, R_pad, 1), jnp.float32),
-            jax.ShapeDtypeStruct((B, H, R_pad, 1), jnp.float32),
-            jax.ShapeDtypeStruct((B, H, R_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, N, w), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, P, Q_pad), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, P, Q_pad), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, P, Q_pad), jnp.float32),
         ],
         interpret=_interpret(),
-    )(ix, iy, aw, Vt, VtT, g)
+    )(ix, iy, aw, VtT, g)
 
 
 # --------------------------------------------------------------------------
 # level data marshalling
 # --------------------------------------------------------------------------
 
-def _level_inputs(value_l, loc_l, aw_l, h, w, P):
-    """Transpose values x-major (h zero-padded for lane folds) and flatten
-    (query, point) rows, padded to a row-tile multiple with aw=0."""
+def _level_inputs(value_l, loc_l, aw_l, h, w, P, TQ):
+    """Transpose values to [B,H,h*D,w] and rows to query-minor
+    [B,H,P,Q_pad] (zero attention weight on the padded queries)."""
     B, _, H, D = value_l.shape
     Q = loc_l.shape[1]
-    hp = _h_pad(h, D)
-    Vt = (value_l.reshape(B, h, w, H, D)
-          .transpose(0, 3, 2, 1, 4))                       # [B,H,w,h,D]
-    if hp != h:
-        Vt = jnp.pad(Vt, ((0, 0), (0, 0), (0, 0), (0, hp - h), (0, 0)))
-    Vt = Vt.reshape(B, H, w, hp * D)
+    VtT = (value_l.reshape(B, h, w, H, D)
+           .transpose(0, 3, 1, 4, 2)                       # [B,H,h,D,w]
+           .reshape(B, H, h * D, w))
 
     ix = loc_l[..., 0].astype(jnp.float32) * w - 0.5       # [B,Q,H,P]
     iy = loc_l[..., 1].astype(jnp.float32) * h - 0.5
 
-    TR = _row_tile(P)
-    R = Q * P
-    R_pad = -(-R // TR) * TR
+    Q_pad = -(-Q // TQ) * TQ
 
-    def rows(t):  # [B,Q,H,P] -> [B,H,R_pad,1]
-        t = t.transpose(0, 2, 1, 3).reshape(B, H, R)
-        if R_pad != R:
-            t = jnp.pad(t, ((0, 0), (0, 0), (0, R_pad - R)))
-        return t[..., None]
+    def rows(t):  # [B,Q,H,P] -> [B,H,P,Q_pad]
+        t = t.transpose(0, 2, 3, 1)
+        if Q_pad != Q:
+            t = jnp.pad(t, ((0, 0), (0, 0), (0, 0), (0, Q_pad - Q)))
+        return t
 
-    return Vt, rows(ix), rows(iy), rows(aw_l.astype(jnp.float32)), R_pad
+    return VtT, rows(ix), rows(iy), rows(aw_l.astype(jnp.float32))
 
 
 # --------------------------------------------------------------------------
@@ -316,14 +282,16 @@ def _msda_pallas_fwd(value, spatial_shapes, sampling_locations,
     start = 0
     for lid, (h, w) in enumerate(spatial_shapes):
         value_l = lax.slice_in_dim(value, start, start + h * w, axis=1)
-        Vt, ix, iy, aw, _ = _level_inputs(
+        TQ = _tq_fwd(h * D)
+        VtT, ix, iy, aw = _level_inputs(
             value_l, sampling_locations[:, :, :, lid],
-            attention_weights[:, :, :, lid], h, w, P)
-        o = _level_pallas_fwd(Vt, ix, iy, aw, h=h, w=w, D=D, P=P)
-        o = o[:, :, :Q]                                     # drop row padding
+            attention_weights[:, :, :, lid], h, w, P, TQ)
+        o = _level_pallas_fwd(VtT, ix, iy, aw, h=h, w=w, D=D, P=P)
+        o = o[:, :, :, :Q]                                  # drop query pad
         out = o if out is None else out + o
         start += h * w
-    out = out.transpose(0, 2, 1, 3).reshape(B, Q, H * D).astype(dtype)
+    # [B,H,D,Q] -> [B,Q,H*D]
+    out = out.transpose(0, 3, 1, 2).reshape(B, Q, H * D).astype(dtype)
     return out, (value, sampling_locations, attention_weights)
 
 
@@ -332,8 +300,8 @@ def _msda_pallas_bwd(spatial_shapes, res, g):
     B, S, H, D = value.shape
     _, Q, _, L, P, _ = sampling_locations.shape
 
-    # [B, Q, H*D] -> [B, H, Q, D] f32
-    gq = g.reshape(B, Q, H, D).transpose(0, 2, 1, 3).astype(jnp.float32)
+    # [B, Q, H*D] -> [B, H, D, Q] f32
+    gq = g.reshape(B, Q, H, D).transpose(0, 2, 3, 1).astype(jnp.float32)
 
     dval_parts = []
     dloc_parts = []
@@ -341,27 +309,24 @@ def _msda_pallas_bwd(spatial_shapes, res, g):
     start = 0
     for lid, (h, w) in enumerate(spatial_shapes):
         value_l = lax.slice_in_dim(value, start, start + h * w, axis=1)
-        Vt, ix, iy, aw, R_pad = _level_inputs(
+        TQ = _tq_fwd(h * D)
+        VtT, ix, iy, aw = _level_inputs(
             value_l, sampling_locations[:, :, :, lid],
-            attention_weights[:, :, :, lid], h, w, P)
-        VtT = Vt.swapaxes(2, 3)                            # [B,H,N,w]
-        TR = _row_tile(P)
-        Qp = R_pad // P
-        gq_pad = gq if Qp == Q else jnp.pad(
-            gq, ((0, 0), (0, 0), (0, Qp - Q), (0, 0)))
+            attention_weights[:, :, :, lid], h, w, P, TQ)
+        Q_pad = ix.shape[3]
+        gq_pad = gq if Q_pad == Q else jnp.pad(
+            gq, ((0, 0), (0, 0), (0, 0), (0, Q_pad - Q)))
 
-        dVt, dix, diy, daw = _level_pallas_bwd(
-            Vt, VtT, ix, iy, aw, gq_pad, h=h, w=w, D=D, P=P)
+        dVtT, dix, diy, daw = _level_pallas_bwd(
+            VtT, ix, iy, aw, gq_pad, h=h, w=w, D=D, P=P)
 
-        hp = _h_pad(h, D)
-        # [B,H,w,hp*D] -> [B, h*w, H, D]
-        dv = (dVt.reshape(B, H, w, hp, D)[:, :, :, :h]
-              .transpose(0, 3, 2, 1, 4).reshape(B, h * w, H, D))
+        # [B,H,h*D,w] -> [B, h*w, H, D]
+        dv = (dVtT.reshape(B, H, h, D, w)
+              .transpose(0, 2, 4, 1, 3).reshape(B, h * w, H, D))
         dval_parts.append(dv)
 
-        def unrows(t):  # [B,H,R_pad,1] -> [B,Q,H,P]
-            t = t[..., 0][:, :, :Q * P].reshape(B, H, Q, P)
-            return t.transpose(0, 2, 1, 3)
+        def unrows(t):  # [B,H,P,Q_pad] -> [B,Q,H,P]
+            return t[:, :, :, :Q].transpose(0, 3, 1, 2)
 
         # chain rule through the pixel-coordinate maps (ix = x*w - 0.5)
         dloc = jnp.stack([unrows(dix) * w, unrows(diy) * h], axis=-1)
