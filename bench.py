@@ -94,6 +94,8 @@ def main():
     ap.add_argument("--quick", action="store_true", help="5 iters")
     ap.add_argument("--msda-impl", default="auto",
                     choices=["auto", "pallas", "matmul", "gather"])
+    ap.add_argument("--msda-window", type=int, default=0,
+                    help="banded-MSDA window height (0 = exact)")
     ap.add_argument("--batch8", dest="batch8", action="store_true",
                     default=True, help="also measure batch-8 throughput")
     ap.add_argument("--no-batch8", dest="batch8", action="store_false")
@@ -103,7 +105,8 @@ def main():
 
     # FPS-protocol shape: 600x1000 -> bucket 608x1008 (static)
     H, W = 608, 1008
-    cfg_kw = {"msda_impl": args.msda_impl}
+    cfg_kw = {"msda_impl": args.msda_impl,
+              "msda_window": args.msda_window}
 
     params, x, infer = _build(cfg_kw, 1, H, W)
     fps = _time_fps(params, x, infer, args.iters, args.warmup)

@@ -88,6 +88,14 @@ class EgtrConfig:
     # separable-hat path, "gather" the round-1 patch-gather. "auto" picks
     # pallas on TPU and matmul elsewhere. See egtr_tpu/ops/msda.py.
     msda_impl: str = "auto"
+    # Opt-in banded MSDA approximation for the ENCODER self-attention
+    # (decoder queries are not raster-local): levels taller than this
+    # window clamp each query tile's sample y to a runtime-selected band
+    # of this height, shrinking the kernel's streamed rows from h*D to
+    # window*D. 0 = exact. Accuracy caveat: in-image samples offset more
+    # than ~window/2 rows from a tile's weighted-mean row are clamped to
+    # the band edge (ops/msda_window.py). Typical values: 16 or 32.
+    msda_window: int = 0
 
     @property
     def head_dim(self) -> int:

@@ -190,6 +190,7 @@ class DeformableDetrBase(nn.Module):
                 E, cfg.encoder_ffn_dim, cfg.encoder_attention_heads, Lv,
                 cfg.encoder_n_points, cfg.dropout, cfg.activation_dropout,
                 dtype=dtype, msda_impl=cfg.msda_impl,
+                msda_window=cfg.msda_window,
                 name=f"encoder_layer_{i}",
             )(hidden, pos_flatten, enc_ref, shapes, mask_flatten,
               deterministic)

@@ -150,6 +150,9 @@ class MSDeformableAttention(nn.Module):
     n_points: int
     dtype: Optional[jnp.dtype] = None
     msda_impl: str = "auto"
+    # opt-in banded approximation (ops/msda_window.py); only set where the
+    # queries are raster-ordered (encoder self-attention)
+    window: int = 0
 
     @nn.compact
     def __call__(
@@ -160,6 +163,7 @@ class MSDeformableAttention(nn.Module):
         spatial_shapes: Sequence[Tuple[int, int]],
         position_embeddings=None,
         value_mask=None,          # [B, S] bool, True = valid
+        query_segments=None,      # raster (h, w) layout of the queries
     ):
         H, L, P = self.num_heads, self.n_levels, self.n_points
         E = self.d_model
@@ -203,7 +207,8 @@ class MSDeformableAttention(nn.Module):
 
         out = ms_deform_attn(
             value, tuple(spatial_shapes), loc,
-            weights.astype(value.dtype), impl=self.msda_impl)
+            weights.astype(value.dtype), impl=self.msda_impl,
+            window=self.window, query_segments=query_segments)
         out = dense(E, "output_proj", dtype=self.dtype,
                     kernel_init=nn.initializers.xavier_uniform())(out)
         return out
@@ -221,16 +226,21 @@ class EncoderLayer(nn.Module):
     activation_dropout: float = 0.0
     dtype: Optional[jnp.dtype] = None
     msda_impl: str = "auto"
+    msda_window: int = 0
 
     @nn.compact
     def __call__(self, hidden_states, position_embeddings, reference_points,
                  spatial_shapes, value_mask=None, deterministic: bool = True):
         residual = hidden_states
+        # encoder queries ARE the raster-flattened tokens, so they qualify
+        # for the windowed approximation with segments = spatial_shapes
         hidden_states = MSDeformableAttention(
             self.d_model, self.num_heads, self.n_levels, self.n_points,
-            dtype=self.dtype, msda_impl=self.msda_impl, name="self_attn",
+            dtype=self.dtype, msda_impl=self.msda_impl,
+            window=self.msda_window, name="self_attn",
         )(hidden_states, hidden_states, reference_points, spatial_shapes,
-          position_embeddings=position_embeddings, value_mask=value_mask)
+          position_embeddings=position_embeddings, value_mask=value_mask,
+          query_segments=spatial_shapes if self.msda_window else None)
         hidden_states = nn.Dropout(self.dropout)(hidden_states, deterministic)
         hidden_states = layer_norm(residual + hidden_states,
                                    "self_attn_layer_norm", self.dtype)

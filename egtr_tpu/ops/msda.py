@@ -260,20 +260,62 @@ def _msda_gather(value, spatial_shapes, sampling_locations, attention_weights):
 # dispatch
 # --------------------------------------------------------------------------
 
+def _msda_matmul_windowed(value, spatial_shapes, sampling_locations,
+                          attention_weights, window, query_segments):
+    """Windowed approximation via the exact matmul path on
+    clamp-transformed coordinates (ops/msda_window.py) — the CPU-testable
+    oracle for the banded Pallas kernel: banding only restricts which y
+    rows a sample can reach, which the clamp encodes exactly."""
+    from .msda_window import windowed_level_coords
+
+    D = value.shape[3]
+    Q = sampling_locations.shape[1]
+    locs, aws = [], []
+    for lid, (h, w) in enumerate(spatial_shapes):
+        loc_l = sampling_locations[:, :, :, lid]
+        aw_l = attention_weights[:, :, :, lid]
+        if h <= window:
+            locs.append(loc_l.astype(jnp.float32))
+            aws.append(aw_l.astype(jnp.float32))
+        else:
+            loc2, aw2 = windowed_level_coords(
+                loc_l, aw_l, h, w, window, query_segments, Q, D)
+            locs.append(loc2.astype(jnp.float32))
+            aws.append(aw2)
+    loc = jnp.stack(locs, axis=3).astype(sampling_locations.dtype)
+    aw = jnp.stack(aws, axis=3).astype(attention_weights.dtype)
+    return _msda_matmul(value, spatial_shapes, loc, aw)
+
+
 def ms_deform_attn(
     value: jax.Array,
     spatial_shapes: Sequence[Tuple[int, int]],
     sampling_locations: jax.Array,
     attention_weights: jax.Array,
     impl: str = "auto",
+    window: int = 0,
+    query_segments=None,
 ) -> jax.Array:
     """Pure-JAX multi-scale deformable attention (forward; differentiable).
 
     impl: "matmul" | "gather" | "pallas" | "auto". "auto" picks the fused
     Pallas kernel on TPU backends and the XLA matmul path elsewhere.
+
+    window > 0 enables the opt-in banded approximation (see
+    ops/msda_window.py): levels taller than ``window`` clamp each query
+    tile's samples to a runtime-selected y-band of that height.
+    ``query_segments`` must then give the raster layout of the queries
+    (encoder self-attention: the spatial_shapes); pass None for
+    non-raster queries only if window == 0.
     """
     assert len(spatial_shapes) == sampling_locations.shape[3]
     spatial_shapes = tuple((int(h), int(w)) for h, w in spatial_shapes)
+    if query_segments is not None:
+        query_segments = tuple((int(h), int(w)) for h, w in query_segments)
+    window = int(window)
+    if window > 0 and query_segments is None:
+        raise ValueError("windowed MSDA requires query_segments "
+                         "(raster layout of the queries)")
 
     if impl == "auto":
         impl = "pallas" if jax.default_backend() not in ("cpu",) else "matmul"
@@ -282,13 +324,25 @@ def ms_deform_attn(
         if not msda_pallas_supported():
             impl = "matmul"
     if impl == "pallas":
-        from .msda_pallas import msda_pallas
+        from .msda_pallas import msda_pallas, msda_pallas_win
+        if window > 0:
+            return msda_pallas_win(value, spatial_shapes,
+                                   sampling_locations, attention_weights,
+                                   window, query_segments)
         return msda_pallas(value, spatial_shapes, sampling_locations,
                            attention_weights)
     if impl == "matmul":
+        if window > 0:
+            return _msda_matmul_windowed(value, spatial_shapes,
+                                         sampling_locations,
+                                         attention_weights, window,
+                                         query_segments)
         return _msda_matmul(value, spatial_shapes, sampling_locations,
                             attention_weights)
     if impl == "gather":
+        if window > 0:
+            raise ValueError("windowed MSDA is not supported on the "
+                             "gather path")
         return _msda_gather(value, spatial_shapes, sampling_locations,
                             attention_weights)
     raise ValueError(f"unknown msda impl: {impl!r}")

@@ -49,6 +49,11 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .msda_window import (band_starts, fit_tile, segment_bounds,
+                          segment_cols, segment_rows, unsegment_cols,
+                          unsegment_rows, window_rows)
 
 # Set True to run kernels through the Pallas interpreter (CPU testing).
 INTERPRET = False
@@ -65,32 +70,25 @@ def msda_pallas_supported() -> bool:
     return INTERPRET or jax.default_backend() != "cpu"
 
 
-def _fit_tile(N: int, n_bufs: int, budget=12 * 2 ** 20) -> int:
-    """Largest query tile (multiple of 128 lanes) whose ~n_bufs live
-    [N, TQ] f32 temporaries fit the VMEM budget."""
-    tq = 4 * _LANES
-    while tq > _LANES and n_bufs * tq * N * 4 > budget:
-        tq //= 2
-    return max(tq, _LANES)
-
-
 def _tq_fwd(N: int) -> int:
     # forward keeps ~3 live [N, TQ] f32 temporaries (acc, T_p, hy)
-    return _fit_tile(N, 3)
+    return fit_tile(N, 3)
 
 
 def _tq_bwd(N: int) -> int:
     # backward keeps ~8 live [N, TQ] f32 temporaries
     # (g_tile, ysub, hy, dT, T, Tg, dvtt acc, fusion slack)
-    return _fit_tile(N, 8)
+    return fit_tile(N, 8)
 
 
 # --------------------------------------------------------------------------
 # forward
 # --------------------------------------------------------------------------
 
-def _fwd_kernel(ix_ref, iy_ref, aw_ref, vtt_ref, out_ref, *, h, w, D, P, cdt):
-    N = vtt_ref.shape[2]                                   # h * D
+def _fwd_body(ix_ref, iy_ref, aw_ref, vtt, out_ref, h, w, D, P, cdt):
+    """vtt: [N, w] array (N = h*D; h is the band height on the windowed
+    path, the full level height otherwise — iy is band-local there)."""
+    N = vtt.shape[0]
     TQ = ix_ref.shape[3]
 
     xsub = lax.broadcasted_iota(jnp.int32, (w, TQ), 0).astype(jnp.float32)
@@ -103,12 +101,25 @@ def _fwd_kernel(ix_ref, iy_ref, aw_ref, vtt_ref, out_ref, *, h, w, D, P, cdt):
         iyp = iy_ref[0, 0, p, :][None, :]
         awp = aw_ref[0, 0, p, :][None, :]
         hxT = jnp.maximum(0.0, 1.0 - jnp.abs(ixp - xsub)).astype(cdt)
-        Tp = jnp.dot(vtt_ref[0, 0], hxT,
+        Tp = jnp.dot(vtt, hxT,
                      preferred_element_type=jnp.float32)   # [N, TQ]
         hy = jnp.maximum(0.0, 1.0 - jnp.abs(iyp - ysub))
         acc = acc + Tp * (hy * awp)
     # fold y (sublane groups of D): [h*D, TQ] -> [D, TQ]
     out_ref[0, 0] = acc.reshape(h, D, TQ).sum(axis=0)
+
+
+def _fwd_kernel(ix_ref, iy_ref, aw_ref, vtt_ref, out_ref, *, h, w, D, P, cdt):
+    _fwd_body(ix_ref, iy_ref, aw_ref, vtt_ref[0, 0], out_ref, h, w, D, P, cdt)
+
+
+def _fwd_kernel_win(bidx_ref, ix_ref, iy_ref, aw_ref, vb_ref, out_ref, *,
+                    win, w, D, P, cdt):
+    # bidx_ref (scalar prefetch) is consumed by the index_maps only: it
+    # selects which y-band block vb_ref holds; iy is already band-local.
+    del bidx_ref
+    _fwd_body(ix_ref, iy_ref, aw_ref, vb_ref[0, 0, 0], out_ref,
+              win, w, D, P, cdt)
 
 
 def _level_pallas_fwd(VtT, ix, iy, aw, *, h, w, D, P):
@@ -135,15 +146,54 @@ def _level_pallas_fwd(VtT, ix, iy, aw, *, h, w, D, P):
     )(ix, iy, aw, VtT)
 
 
+def _band_values(VtT, h: int, D: int, win: int):
+    """[B,H,h*D,w] -> [B,H,n_bands,win*D,w] overlapping y-band slices."""
+    starts = band_starts(h, win)
+    return jnp.stack(
+        [VtT[:, :, s * D:(s + win) * D, :] for s in starts], axis=2)
+
+
+def _level_pallas_fwd_win(Vb, bidx, ix, iy, aw, *, win, w, D, P):
+    """Banded forward. Vb: [B,H,n_bands,win*D,w]; bidx: [B,H,T] i32
+    (scalar prefetch, drives the band block's index_map); ix/iy/aw:
+    [B,H,P,Q_pad] f32 with iy band-local. Returns [B,H,D,Q_pad] f32."""
+    B, H, _, N, _ = Vb.shape
+    Q_pad = ix.shape[3]
+    TQ = _tq_fwd(N)
+    assert Q_pad % TQ == 0 and bidx.shape == (B, H, Q_pad // TQ)
+    n_tiles = Q_pad // TQ
+
+    kern = functools.partial(_fwd_kernel_win, win=win, w=w, D=D, P=P,
+                             cdt=Vb.dtype)
+    rows_spec = pl.BlockSpec((1, 1, P, TQ),
+                             lambda b, hh, t, bref: (b, hh, 0, t))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, H, n_tiles),
+        in_specs=[
+            rows_spec, rows_spec, rows_spec,
+            pl.BlockSpec((1, 1, 1, N, w),
+                         lambda b, hh, t, bref: (b, hh, bref[b, hh, t], 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, D, TQ),
+                               lambda b, hh, t, bref: (b, hh, 0, t)),
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, H, D, Q_pad), jnp.float32),
+        interpret=_interpret(),
+    )(bidx, ix, iy, aw, Vb)
+
+
 # --------------------------------------------------------------------------
 # backward
 # --------------------------------------------------------------------------
 
-def _bwd_kernel(ix_ref, iy_ref, aw_ref, vtt_ref, g_ref,
-                dvtt_ref, dix_ref, diy_ref, daw_ref, *, h, w, D, P, cdt):
+def _bwd_rows_kernel(ix_ref, iy_ref, aw_ref, vtt_ref, g_ref,
+                     dix_ref, diy_ref, daw_ref, *, h, w, D, P, cdt):
     N = vtt_ref.shape[2]
     TQ = ix_ref.shape[3]
-    t = pl.program_id(2)
 
     xsub = lax.broadcasted_iota(jnp.int32, (w, TQ), 0).astype(jnp.float32)
     ysub = (lax.broadcasted_iota(jnp.int32, (N, TQ), 0) // D).astype(
@@ -152,7 +202,6 @@ def _bwd_kernel(ix_ref, iy_ref, aw_ref, vtt_ref, g_ref,
     g = g_ref[0, 0].astype(jnp.float32)                    # [D, TQ]
     g_tile = jnp.broadcast_to(g[None], (h, D, TQ)).reshape(N, TQ)
 
-    dvtt = jnp.zeros((N, w), jnp.float32)
     for p in range(P):
         ixp = ix_ref[0, 0, p, :][None, :]
         iyp = iy_ref[0, 0, p, :][None, :]
@@ -164,11 +213,6 @@ def _bwd_kernel(ix_ref, iy_ref, aw_ref, vtt_ref, g_ref,
         hy = jnp.maximum(0.0, 1.0 - jnp.abs(zy))
 
         dT = hy * awp * g_tile                             # [N, TQ] f32
-
-        # dVtT += dT @ hxT^T  (contract the query lanes of both — NT)
-        dvtt = dvtt + lax.dot_general(
-            dT.astype(cdt), hxT.astype(cdt), (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)            # [N, w]
 
         # dhxT = VtT^T @ dT  (contract the N sublanes of both — TN)
         dhxT = lax.dot_general(
@@ -188,6 +232,33 @@ def _bwd_kernel(ix_ref, iy_ref, aw_ref, vtt_ref, g_ref,
         diy_ref[0, 0, pl.ds(p, 1), :] = jnp.sum(
             awp * ghy * Tg, axis=0, keepdims=True)
 
+
+def _bwd_dvtt_kernel(ix_ref, iy_ref, aw_ref, g_ref, dvtt_ref, *,
+                     h, w, D, P, cdt):
+    N = dvtt_ref.shape[2]
+    TQ = ix_ref.shape[3]
+    t = pl.program_id(2)
+
+    xsub = lax.broadcasted_iota(jnp.int32, (w, TQ), 0).astype(jnp.float32)
+    ysub = (lax.broadcasted_iota(jnp.int32, (N, TQ), 0) // D).astype(
+        jnp.float32)
+
+    g = g_ref[0, 0].astype(jnp.float32)                    # [D, TQ]
+    g_tile = jnp.broadcast_to(g[None], (h, D, TQ)).reshape(N, TQ)
+
+    dvtt = jnp.zeros((N, w), jnp.float32)
+    for p in range(P):
+        ixp = ix_ref[0, 0, p, :][None, :]
+        iyp = iy_ref[0, 0, p, :][None, :]
+        awp = aw_ref[0, 0, p, :][None, :]
+        hxT = jnp.maximum(0.0, 1.0 - jnp.abs(ixp - xsub))
+        hy = jnp.maximum(0.0, 1.0 - jnp.abs(iyp - ysub))
+        dT = hy * awp * g_tile                             # [N, TQ] f32
+        # dVtT += dT @ hxT^T  (contract the query lanes of both — NT)
+        dvtt = dvtt + lax.dot_general(
+            dT.astype(cdt), hxT.astype(cdt), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)            # [N, w]
+
     @pl.when(t == 0)
     def _():
         dvtt_ref[0, 0] = dvtt
@@ -199,29 +270,35 @@ def _bwd_kernel(ix_ref, iy_ref, aw_ref, vtt_ref, g_ref,
 
 def _level_pallas_bwd(VtT, ix, iy, aw, g, *, h, w, D, P):
     """g: [B,H,D,Q_pad] f32. Returns (dVtT f32 [B,H,h*D,w],
-    dix/diy/daw f32 [B,H,P,Q_pad])."""
+    dix/diy/daw f32 [B,H,P,Q_pad]).
+
+    Two kernels (row grads / value grads) instead of one: the fused
+    variant's live set (value tile + 5 [N,TQ] temporaries + the [N,w]
+    accumulator and its output buffering) overflows the 16 MB VMEM at the
+    800x1344 level-0 shape (N=3200, w=168) — measured 18.4 MB scoped. The
+    split halves the peak; the only recomputation is the VPU-cheap
+    hat/dT products."""
     B, H, N, _ = VtT.shape
     Q_pad = ix.shape[3]
     TQ = _tq_bwd(N)
     assert Q_pad % TQ == 0  # forward pads to _tq_fwd, a multiple of this
     n_tiles = Q_pad // TQ
 
-    kern = functools.partial(_bwd_kernel, h=h, w=w, D=D, P=P, cdt=VtT.dtype)
     rows_spec = pl.BlockSpec((1, 1, P, TQ), lambda b, hh, t: (b, hh, 0, t))
-    return pl.pallas_call(
-        kern,
+    g_spec = pl.BlockSpec((1, 1, D, TQ), lambda b, hh, t: (b, hh, 0, t))
+
+    kern_r = functools.partial(_bwd_rows_kernel, h=h, w=w, D=D, P=P,
+                               cdt=VtT.dtype)
+    dix, diy, daw = pl.pallas_call(
+        kern_r,
         grid=(B, H, n_tiles),
         in_specs=[
             rows_spec, rows_spec, rows_spec,
             pl.BlockSpec((1, 1, N, w), lambda b, hh, t: (b, hh, 0, 0)),
-            pl.BlockSpec((1, 1, D, TQ), lambda b, hh, t: (b, hh, 0, t)),
+            g_spec,
         ],
-        out_specs=[
-            pl.BlockSpec((1, 1, N, w), lambda b, hh, t: (b, hh, 0, 0)),
-            rows_spec, rows_spec, rows_spec,
-        ],
+        out_specs=[rows_spec, rows_spec, rows_spec],
         out_shape=[
-            jax.ShapeDtypeStruct((B, H, N, w), jnp.float32),
             jax.ShapeDtypeStruct((B, H, P, Q_pad), jnp.float32),
             jax.ShapeDtypeStruct((B, H, P, Q_pad), jnp.float32),
             jax.ShapeDtypeStruct((B, H, P, Q_pad), jnp.float32),
@@ -229,19 +306,38 @@ def _level_pallas_bwd(VtT, ix, iy, aw, g, *, h, w, D, P):
         interpret=_interpret(),
     )(ix, iy, aw, VtT, g)
 
+    kern_v = functools.partial(_bwd_dvtt_kernel, h=h, w=w, D=D, P=P,
+                               cdt=VtT.dtype)
+    dVtT = pl.pallas_call(
+        kern_v,
+        grid=(B, H, n_tiles),
+        in_specs=[rows_spec, rows_spec, rows_spec, g_spec],
+        out_specs=pl.BlockSpec((1, 1, N, w), lambda b, hh, t: (b, hh, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, H, N, w), jnp.float32),
+        interpret=_interpret(),
+    )(ix, iy, aw, g)
+
+    return dVtT, dix, diy, daw
+
 
 # --------------------------------------------------------------------------
 # level data marshalling
 # --------------------------------------------------------------------------
+
+def _vtt(value_l, h, w):
+    """[B, h*w, H, D] -> [B, H, h*D, w] (x minor; n = y*D + d)."""
+    B, _, H, D = value_l.shape
+    return (value_l.reshape(B, h, w, H, D)
+            .transpose(0, 3, 1, 4, 2)                      # [B,H,h,D,w]
+            .reshape(B, H, h * D, w))
+
 
 def _level_inputs(value_l, loc_l, aw_l, h, w, P, TQ):
     """Transpose values to [B,H,h*D,w] and rows to query-minor
     [B,H,P,Q_pad] (zero attention weight on the padded queries)."""
     B, _, H, D = value_l.shape
     Q = loc_l.shape[1]
-    VtT = (value_l.reshape(B, h, w, H, D)
-           .transpose(0, 3, 1, 4, 2)                       # [B,H,h,D,w]
-           .reshape(B, H, h * D, w))
+    VtT = _vtt(value_l, h, w)
 
     ix = loc_l[..., 0].astype(jnp.float32) * w - 0.5       # [B,Q,H,P]
     iy = loc_l[..., 1].astype(jnp.float32) * h - 0.5
@@ -341,3 +437,130 @@ def _msda_pallas_bwd(spatial_shapes, res, g):
 
 
 msda_pallas.defvjp(_msda_pallas_fwd, _msda_pallas_bwd)
+
+
+# --------------------------------------------------------------------------
+# windowed (banded) variant — see ops/msda_window.py for the contract
+# --------------------------------------------------------------------------
+
+def _win_level_rows(loc_l, aw_l, h, w, win, segs, TQ):
+    """Segmented, window-transformed rows for one level.
+
+    Returns (bidx, ix, iy_band, iy_clamped_abs, aw_eff, inband, in_img),
+    all in the [B,H,P,Q_pad_total] row layout (bidx is [B,H,T])."""
+    ix = segment_rows(loc_l[..., 0].astype(jnp.float32) * w - 0.5, segs, TQ)
+    iy = segment_rows(loc_l[..., 1].astype(jnp.float32) * h - 0.5, segs, TQ)
+    awr = segment_rows(aw_l.astype(jnp.float32), segs, TQ)
+    bidx, iyb, iyc, awe, inband, in_img = window_rows(iy, awr, h, win, TQ)
+    return bidx, ix, iyb, iyc, awe, inband, in_img
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 4, 5))
+def msda_pallas_win(value, spatial_shapes: Sequence[Tuple[int, int]],
+                    sampling_locations, attention_weights,
+                    window: int, query_segments):
+    """Windowed multi-scale deformable attention (approximate, opt-in).
+
+    Levels with h <= window run the exact kernel; taller levels run the
+    banded kernel with per-tile runtime band selection. ``query_segments``
+    is the (h, w) raster layout of the queries (encoder self-attention:
+    the spatial_shapes themselves) so tiles never straddle levels.
+    Gradients match the windowed forward exactly (clamp-masked)."""
+    out, _ = _msda_win_fwd(value, spatial_shapes, sampling_locations,
+                           attention_weights, window, query_segments)
+    return out
+
+
+def _msda_win_fwd(value, spatial_shapes, sampling_locations,
+                  attention_weights, window, query_segments):
+    B, S, H, D = value.shape
+    _, Q, _, L, P, _ = sampling_locations.shape
+    dtype = value.dtype
+
+    out = None
+    start = 0
+    for lid, (h, w) in enumerate(spatial_shapes):
+        value_l = lax.slice_in_dim(value, start, start + h * w, axis=1)
+        loc_l = sampling_locations[:, :, :, lid]
+        aw_l = attention_weights[:, :, :, lid]
+        if h <= window:
+            TQ = _tq_fwd(h * D)
+            VtT, ix, iy, aw = _level_inputs(value_l, loc_l, aw_l, h, w, P, TQ)
+            o = _level_pallas_fwd(VtT, ix, iy, aw,
+                                  h=h, w=w, D=D, P=P)[:, :, :, :Q]
+        else:
+            TQ = _tq_fwd(window * D)
+            segs = segment_bounds(Q, query_segments)
+            Vb = _band_values(_vtt(value_l, h, w), h, D, window)
+            bidx, ix, iyb, _, awe, _, _ = _win_level_rows(
+                loc_l, aw_l, h, w, window, segs, TQ)
+            o = _level_pallas_fwd_win(Vb, bidx, ix, iyb, awe,
+                                      win=window, w=w, D=D, P=P)
+            o = unsegment_cols(o, segs, TQ)
+        out = o if out is None else out + o
+        start += h * w
+    out = out.transpose(0, 3, 1, 2).reshape(B, Q, H * D).astype(dtype)
+    return out, (value, sampling_locations, attention_weights)
+
+
+def _msda_win_bwd(spatial_shapes, window, query_segments, res, g):
+    """Backward: the exact kernel on the clamp-transformed coordinates
+    (full-height values — banding only restricts reachable rows, which
+    the clamp already encodes), with d/d_iy masked where the clamp was
+    active and d/d_aw masked by the in-image guard."""
+    value, sampling_locations, attention_weights = res
+    B, S, H, D = value.shape
+    _, Q, _, L, P, _ = sampling_locations.shape
+
+    gq = g.reshape(B, Q, H, D).transpose(0, 2, 3, 1).astype(jnp.float32)
+
+    dval_parts = []
+    dloc_parts = []
+    daw_parts = []
+    start = 0
+    for lid, (h, w) in enumerate(spatial_shapes):
+        value_l = lax.slice_in_dim(value, start, start + h * w, axis=1)
+        loc_l = sampling_locations[:, :, :, lid]
+        aw_l = attention_weights[:, :, :, lid]
+
+        if h <= window:
+            TQ = _tq_fwd(h * D)
+            VtT, ix, iy, aw = _level_inputs(value_l, loc_l, aw_l, h, w, P, TQ)
+            Q_pad = ix.shape[3]
+            gq_pad = gq if Q_pad == Q else jnp.pad(
+                gq, ((0, 0), (0, 0), (0, 0), (0, Q_pad - Q)))
+            dVtT, dix, diy, daw = _level_pallas_bwd(
+                VtT, ix, iy, aw, gq_pad, h=h, w=w, D=D, P=P)
+
+            def unrows(t):
+                return t[:, :, :, :Q].transpose(0, 3, 1, 2)
+        else:
+            TQ = _tq_fwd(window * D)
+            segs = segment_bounds(Q, query_segments)
+            VtT = _vtt(value_l, h, w)
+            _, ix, _, iyc, awe, inband, in_img = _win_level_rows(
+                loc_l, aw_l, h, w, window, segs, TQ)
+            gq_seg = segment_cols(gq, segs, TQ)
+            dVtT, dix, diy, daw = _level_pallas_bwd(
+                VtT, ix, iyc, awe, gq_seg, h=h, w=w, D=D, P=P)
+            diy = diy * inband                     # zero where clamped
+            daw = daw * in_img                     # d aw_eff / d aw
+
+            def unrows(t, segs=segs, TQ=TQ):
+                return unsegment_rows(t, segs, TQ)
+
+        dv = (dVtT.reshape(B, H, h, D, w)
+              .transpose(0, 2, 4, 1, 3).reshape(B, h * w, H, D))
+        dval_parts.append(dv)
+        dloc = jnp.stack([unrows(dix) * w, unrows(diy) * h], axis=-1)
+        dloc_parts.append(dloc)
+        daw_parts.append(unrows(daw))
+        start += h * w
+
+    dvalue = jnp.concatenate(dval_parts, axis=1).astype(value.dtype)
+    dloc = jnp.stack(dloc_parts, axis=3).astype(sampling_locations.dtype)
+    daw = jnp.stack(daw_parts, axis=3).astype(attention_weights.dtype)
+    return dvalue, dloc, daw
+
+
+msda_pallas_win.defvjp(_msda_win_fwd, _msda_win_bwd)

@@ -140,6 +140,110 @@ def test_msda_gradients_flow(rng, impl):
     assert np.abs(np.asarray(grads[0])).sum() > 0
 
 
+# ---------------------------------------------------------------------------
+# windowed (banded) approximation — ops/msda_window.py
+# ---------------------------------------------------------------------------
+
+def make_raster_inputs(rng, shapes, H=2, D=8, P=4, max_offset_px=1.0):
+    """Encoder-like inputs: queries are the raster tokens of `shapes`,
+    reference points at their own pixel centers, offsets <= max_offset_px."""
+    L = len(shapes)
+    S = sum(h * w for h, w in shapes)
+    Q = S
+    value = rng.standard_normal((B := 1, S, H, D)).astype(np.float32)
+    refs = []
+    for (h, w) in shapes:
+        yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        refs.append(np.stack([(xx.ravel() + 0.5) / w,
+                              (yy.ravel() + 0.5) / h], -1))
+    ref = np.concatenate(refs, 0)                            # [Q, 2]
+    wh = np.array([[w, h] for (h, w) in shapes], np.float32)  # [L, 2]
+    off = rng.uniform(-max_offset_px, max_offset_px,
+                      (B, Q, H, L, P, 2)).astype(np.float32)
+    loc = ref[None, :, None, None, None, :] + off / wh[None, None, None, :,
+                                                       None, :]
+    aw = rng.uniform(0, 1, size=(B, Q, H, L * P)).astype(np.float32)
+    aw = (aw / aw.sum(-1, keepdims=True)).reshape(B, Q, H, L, P)
+    return value, loc.astype(np.float32), aw
+
+
+def test_msda_windowed_inband_is_exact(rng):
+    # wide level so one 512-query tile spans ~2 raster rows: every sample
+    # stays inside the selected band -> windowed must equal exact
+    shapes = ((10, 256),)
+    value, loc, aw = make_raster_inputs(rng, shapes, max_offset_px=1.0)
+    exact = ms_deform_attn(jnp.array(value), shapes, jnp.array(loc),
+                           jnp.array(aw), impl="pallas")
+    for impl in ("pallas", "matmul"):
+        win = ms_deform_attn(jnp.array(value), shapes, jnp.array(loc),
+                             jnp.array(aw), impl=impl, window=8,
+                             query_segments=shapes)
+        np.testing.assert_allclose(np.asarray(win), np.asarray(exact),
+                                   atol=1e-5, rtol=1e-4)
+
+
+def test_msda_windowed_pallas_matches_matmul_fallback(rng):
+    # arbitrary (non-local) samples: both windowed paths share the
+    # clamp transform, so they must agree even when samples clamp
+    shapes = ((16, 16), (8, 8))
+    value, shapes, loc, aw = make_inputs(
+        rng, B=2, Q=sum(h * w for h, w in shapes), H=2, D=8, shapes=shapes)
+    a = ms_deform_attn(jnp.array(value), shapes, jnp.array(loc),
+                       jnp.array(aw), impl="pallas", window=8,
+                       query_segments=shapes)
+    b = ms_deform_attn(jnp.array(value), shapes, jnp.array(loc),
+                       jnp.array(aw), impl="matmul", window=8,
+                       query_segments=shapes)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               atol=1e-5, rtol=1e-4)
+
+
+def test_msda_windowed_grads_match_fallback(rng):
+    shapes = ((16, 16),)
+    value, shapes, loc, aw = make_inputs(
+        rng, B=1, Q=256, H=2, D=8, shapes=shapes)
+
+    def f(impl):
+        def g(v, l, a):
+            return ms_deform_attn(v, shapes, l, a, impl=impl, window=8,
+                                  query_segments=shapes).sum()
+        return jax.grad(g, argnums=(0, 1, 2))(
+            jnp.array(value), jnp.array(loc), jnp.array(aw))
+
+    gp, gm = f("pallas"), f("matmul")
+    for a, b in zip(gp, gm):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4)
+
+
+def test_msda_windowed_out_of_image_is_zero(rng):
+    # samples far outside the image must contribute exactly zero (the
+    # clamp must not resurrect them)
+    shapes = ((16, 16),)
+    B, Q, H, D, P = 1, 256, 1, 8, 1
+    value = rng.standard_normal((B, 256, H, D)).astype(np.float32)
+    loc = np.full((B, Q, H, 1, P, 2), -5.0, np.float32)
+    aw = np.ones((B, Q, H, 1, P), np.float32)
+    for impl in ("pallas", "matmul"):
+        out = ms_deform_attn(jnp.array(value), shapes, jnp.array(loc),
+                             jnp.array(aw), impl=impl, window=8,
+                             query_segments=shapes)
+        np.testing.assert_allclose(np.asarray(out), 0.0, atol=1e-7)
+
+
+def test_msda_window_geq_height_is_exact(rng):
+    # window >= every level height -> the exact kernel runs everywhere
+    value, shapes, loc, aw = make_inputs(rng, B=1, Q=20, H=2, D=8,
+                                         shapes=((6, 9), (3, 5)))
+    exact = ms_deform_attn(jnp.array(value), shapes, jnp.array(loc),
+                           jnp.array(aw), impl="pallas")
+    win = ms_deform_attn(jnp.array(value), shapes, jnp.array(loc),
+                         jnp.array(aw), impl="pallas", window=64,
+                         query_segments=shapes)
+    np.testing.assert_allclose(np.asarray(win), np.asarray(exact),
+                               atol=1e-6, rtol=1e-5)
+
+
 @pytest.mark.parametrize("impl", IMPLS)
 def test_msda_numeric_grad_vs_torch(rng, impl):
     """Backward parity: JAX autodiff vs torch autograd through the oracle."""
