@@ -11,9 +11,10 @@ Multi-host: every host iterates the SAME seeded global index order and
 takes its contiguous ``batch_size / process_count`` slice of each global
 batch — the sharding contract of torch's DistributedSampler, but sliced
 within the batch so global batch composition is identical to single-host.
-With more than one process the bucket is pinned to a fixed shape (largest
-bucket by default) because all hosts of one jit program must agree on the
-global array shape without exchanging per-sample metadata.
+All hosts of one jit program must agree on the batch's array shape; when
+the dataset provides metadata-only size bounds (``nominal_size``) the
+bucket is derived per batch from the shared global index stream, else it
+is pinned (largest bucket by default).
 """
 
 from __future__ import annotations
@@ -53,7 +54,16 @@ class Loader:
         self.process_index = process_index
         self.process_count = max(process_count, 1)
         if fixed_bucket is None and self.process_count > 1:
-            fixed_bucket = max(self.buckets, key=lambda b: b[0] * b[1])
+            # All hosts of one jit program must agree on each batch's
+            # array shape. If the dataset reports a deterministic
+            # per-sample size bound from metadata alone (nominal_size)
+            # and crop augmentation is off (crops change aspect ratio
+            # past the bound), every host derives the same per-batch
+            # bucket from the shared global index stream; otherwise pin
+            # the largest bucket.
+            if not hasattr(dataset, "nominal_size") or getattr(
+                    dataset, "use_crop", False):
+                fixed_bucket = max(self.buckets, key=lambda b: b[0] * b[1])
         self.fixed_bucket = fixed_bucket
         self._epoch = 0
 
@@ -63,10 +73,17 @@ class Loader:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
-    def _make_batch(self, idxs):
+    def _make_batch(self, batch_idxs):
+        global_idxs, idxs = batch_idxs
         samples = [self.dataset[i] for i in idxs]
         if self.fixed_bucket is not None:
             bucket = self.fixed_bucket
+        elif self.process_count > 1:
+            # per-batch bucket agreed across hosts: derived from the
+            # GLOBAL batch's metadata size bounds, identical everywhere
+            sizes = [self.dataset.nominal_size(i) for i in global_idxs]
+            bucket = pick_bucket(max(h for h, _ in sizes),
+                                 max(w for _, w in sizes), self.buckets)
         else:
             # one bucket for the whole batch: the max over samples
             hs = max(s.image.shape[0] for s in samples)
@@ -75,7 +92,8 @@ class Loader:
         return collate(samples, bucket, self.max_gt, self.num_rel_labels)
 
     def _index_batches(self):
-        """Global batches; every host sees the identical stream."""
+        """Yields (global_idxs, host_idxs); every host sees the identical
+        global stream and takes its contiguous slice."""
         order = np.arange(len(self.dataset))
         if self.shuffle:
             rng = np.random.default_rng(self.seed + self._epoch)
@@ -88,7 +106,8 @@ class Loader:
                 # a partial global batch cannot be split evenly over hosts
                 return
             lo = self.process_index * per_host
-            yield idxs[lo:lo + per_host] if self.process_count > 1 else idxs
+            yield idxs, (idxs[lo:lo + per_host]
+                         if self.process_count > 1 else idxs)
 
     def __iter__(self) -> Iterator[dict]:
         self._epoch += 1

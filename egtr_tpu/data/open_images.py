@@ -66,6 +66,23 @@ class OIDataset:
     def num_classes(self) -> int:
         return len(self.ind_to_classes)
 
+    def nominal_size(self, idx: int):
+        """Same contract as VGDataset.nominal_size. The OI annotation
+        format carries no image dimensions (reference open_image.py
+        decodes to learn them), so read the JPEG header — PIL's open is
+        lazy, no pixel decode — and cache it."""
+        from .transforms import DETR_TRAIN_SCALES, size_with_aspect_ratio
+        if not hasattr(self, "_size_cache"):
+            self._size_cache = {}
+        wh = self._size_cache.get(idx)
+        if wh is None:
+            t = self.targets[idx]
+            with Image.open(os.path.join(
+                    self.img_dir, f"{t['img_fn']}.jpg")) as im:
+                wh = self._size_cache[idx] = im.size
+        s = max(DETR_TRAIN_SCALES) if self.train_aug else self.size
+        return size_with_aspect_ratio(wh[0], wh[1], s, self.max_size)
+
     def __getitem__(self, idx: int) -> Sample:
         t = self.targets[idx]
         img = Image.open(

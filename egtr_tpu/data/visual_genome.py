@@ -60,6 +60,20 @@ class VGDataset:
     def num_classes(self) -> int:
         return len(self.categories)
 
+    def nominal_size(self, idx: int):
+        """Deterministic post-resize (h, w) upper bound from annotation
+        metadata alone (no image decode). The train augmentation's final
+        resize uses a DETR scale capped at 800 with the same max_size and
+        an unchanged aspect ratio (transforms.preprocess), so the bound
+        holds for augmented samples too — EXCEPT under crop augmentation
+        (aspect ratio changes); the loader checks ``use_crop``. Multi-host
+        loaders bucket on this so every host picks the same batch shape."""
+        from .transforms import DETR_TRAIN_SCALES, size_with_aspect_ratio
+        info = self._img_by_id[self.ids[idx]]
+        s = max(DETR_TRAIN_SCALES) if self.train_aug else self.size
+        return size_with_aspect_ratio(info["width"], info["height"],
+                                      s, self.max_size)
+
     def raw_annotations(self, image_id: int):
         """(boxes_xyxy [n,4], class_labels_0based [n], rel_triples [m,3])."""
         anns = self.anns_by_image.get(image_id, [])

@@ -260,6 +260,22 @@ def _msda_gather(value, spatial_shapes, sampling_locations, attention_weights):
 # dispatch
 # --------------------------------------------------------------------------
 
+def _ambient_batch_axis(batch_size: int):
+    """Name of the active mesh's data axis if the batch is sharded over
+    more than one device along it (and divisibly), else None."""
+    try:
+        am = jax.sharding.get_abstract_mesh()
+    except Exception:
+        return None
+    if am is None or not am.shape_tuple:
+        return None
+    from ..parallel.mesh import DATA_AXIS
+    n = dict(am.shape_tuple).get(DATA_AXIS, 1)
+    if n > 1 and batch_size % n == 0:
+        return DATA_AXIS
+    return None
+
+
 def _msda_matmul_windowed(value, spatial_shapes, sampling_locations,
                           attention_weights, window, query_segments):
     """Windowed approximation via the exact matmul path on
@@ -326,11 +342,23 @@ def ms_deform_attn(
     if impl == "pallas":
         from .msda_pallas import msda_pallas, msda_pallas_win
         if window > 0:
-            return msda_pallas_win(value, spatial_shapes,
-                                   sampling_locations, attention_weights,
-                                   window, query_segments)
-        return msda_pallas(value, spatial_shapes, sampling_locations,
-                           attention_weights)
+            def fn(v, l, a):
+                return msda_pallas_win(v, spatial_shapes, l, a,
+                                       window, query_segments)
+        else:
+            def fn(v, l, a):
+                return msda_pallas(v, spatial_shapes, l, a)
+        axis = _ambient_batch_axis(value.shape[0])
+        if axis is not None:
+            # Under a data-parallel mesh the XLA SPMD partitioner cannot
+            # split a pallas custom call — it would all-gather the batch
+            # and run the kernel replicated. shard_map runs it per-shard
+            # (every operand and the output are batch-leading).
+            from jax.sharding import PartitionSpec
+            spec = PartitionSpec(axis)
+            fn = jax.shard_map(fn, in_specs=(spec, spec, spec),
+                               out_specs=spec, check_vma=False)
+        return fn(value, sampling_locations, attention_weights)
     if impl == "matmul":
         if window > 0:
             return _msda_matmul_windowed(value, spatial_shapes,

@@ -152,6 +152,30 @@ def test_loader_multihost_sharding(vg_dir):
     assert b0[0]["image_id"].tolist() + b1[0]["image_id"].tolist() == full[0]
 
 
+def test_loader_multihost_per_batch_bucket(vg_dir):
+    """With nominal_size metadata available, multi-host loaders derive the
+    bucket per batch from the global index stream instead of pinning the
+    largest bucket — and agree across hosts."""
+    ds = VGDataset(vg_dir, "train", size=128, max_size=256)
+    # fixture images are 160x120 -> eval-resize to (128, 170); the small
+    # bucket fits, the large one would only be used if pinned
+    buckets = ((144, 176), (288, 352))
+    kw = dict(batch_size=4, shuffle=True, max_gt=6, num_rel_labels=4,
+              buckets=buckets, seed=3, prefetch=0)
+    host0 = list(Loader(ds, process_index=0, process_count=2, **kw))
+    host1 = list(Loader(ds, process_index=1, process_count=2, **kw))
+    assert host0[0]["pixel_values"].shape == (2, 144, 176, 3)
+    assert host1[0]["pixel_values"].shape == (2, 144, 176, 3)
+    # nominal_size matches the decoded eval-path size exactly
+    s = ds[0]
+    assert ds.nominal_size(0) == tuple(s.size)
+    # crop augmentation invalidates the metadata bound -> pinned bucket
+    ds_crop = VGDataset(vg_dir, "train", train_aug=True, use_crop=True,
+                        size=128, max_size=256)
+    pinned = Loader(ds_crop, process_index=0, process_count=2, **kw)
+    assert pinned.fixed_bucket == (288, 352)
+
+
 def test_loader_worker_error_propagates(vg_dir):
     class Broken:
         max_size = 256

@@ -244,6 +244,47 @@ def test_msda_window_geq_height_is_exact(rng):
                                atol=1e-6, rtol=1e-5)
 
 
+def test_msda_pallas_under_mesh(rng, monkeypatch):
+    """Under a data-parallel mesh the pallas path must run per-shard via
+    shard_map (XLA cannot partition a custom call) and match the
+    unsharded matmul result; windowed variant included."""
+    from egtr_tpu.ops import msda_pallas as mp
+    from egtr_tpu.parallel import mesh as mesh_mod
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    monkeypatch.setattr(mp, "INTERPRET", True)
+
+    shapes = ((8, 8), (4, 4))
+    value, shapes, loc, aw = make_inputs(rng, B=4, Q=80, H=2, D=8,
+                                         shapes=shapes)
+    ref = ms_deform_attn(jnp.array(value), shapes, jnp.array(loc),
+                         jnp.array(aw), impl="matmul")
+    refw = ms_deform_attn(jnp.array(value), shapes, jnp.array(loc),
+                          jnp.array(aw), impl="matmul", window=4,
+                          query_segments=shapes)
+
+    mesh = mesh_mod.make_mesh(dp=4, mp=2)
+    prev = jax.sharding.get_mesh()
+    jax.sharding.set_mesh(mesh)
+    try:
+        sh = mesh_mod.batch_sharding(mesh)
+        v = jax.device_put(jnp.array(value), sh)
+        l = jax.device_put(jnp.array(loc), sh)
+        a = jax.device_put(jnp.array(aw), sh)
+        out = jax.jit(lambda v, l, a: ms_deform_attn(
+            v, shapes, l, a, impl="pallas"))(v, l, a)
+        outw = jax.jit(lambda v, l, a: ms_deform_attn(
+            v, shapes, l, a, impl="pallas", window=4,
+            query_segments=shapes))(v, l, a)
+    finally:
+        jax.sharding.set_mesh(prev)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(outw), np.asarray(refw),
+                               atol=1e-5, rtol=1e-4)
+
+
 @pytest.mark.parametrize("impl", IMPLS)
 def test_msda_numeric_grad_vs_torch(rng, impl):
     """Backward parity: JAX autodiff vs torch autograd through the oracle."""
