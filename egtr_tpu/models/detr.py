@@ -126,7 +126,8 @@ class DeformableDetrBase(nn.Module):
                               padding=[(1, 1), (1, 1)], use_bias=True,
                               kernel_init=nn.initializers.xavier_uniform(),
                               name=f"input_proj_{lvl}_conv")(x)
-            src = nn.GroupNorm(num_groups=32, dtype=jnp.float32,
+            src = nn.GroupNorm(num_groups=32, epsilon=1e-5,
+                               dtype=jnp.float32,
                                name=f"input_proj_{lvl}_norm")(src)
             src = src.astype(dtype)
             assert src.shape[1:3] == shapes[lvl], (
@@ -229,7 +230,7 @@ class DeformableDetrBase(nn.Module):
             # (deformable_detr.py:2098-2159, 2306-2337)
             object_query, output_proposals = _gen_encoder_output_proposals(
                 encoder_hidden.astype(jnp.float32), mask_flatten, shapes)
-            object_query = nn.LayerNorm(name="enc_output_norm")(
+            object_query = nn.LayerNorm(epsilon=1e-5, name="enc_output_norm")(
                 nn.Dense(E, kernel_init=default_kernel_init,
                          name="enc_output")(object_query))
             enc_outputs_class = heads[-1][0](object_query)
@@ -246,7 +247,7 @@ class DeformableDetrBase(nn.Module):
             pos_trans = nn.Dense(2 * E, kernel_init=default_kernel_init,
                                  name="pos_trans")(
                 _proposal_pos_embed(topk_coords_logits, E // 2))
-            pos_trans = nn.LayerNorm(name="pos_trans_norm")(pos_trans)
+            pos_trans = nn.LayerNorm(epsilon=1e-5, name="pos_trans_norm")(pos_trans)
             query_pos, target = jnp.split(pos_trans, 2, axis=2)
         else:
             query_embeddings = self.param(
