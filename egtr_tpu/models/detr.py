@@ -49,10 +49,17 @@ def level_shapes(image_hw: Tuple[int, int], num_levels: int) -> Tuple[Tuple[int,
 
 
 def _resize_mask(mask, hw: Tuple[int, int]):
-    """Downsample a [B,H,W] bool mask to a level resolution (nearest)."""
-    return jax.image.resize(
-        mask.astype(jnp.float32), (mask.shape[0],) + tuple(hw), method="nearest"
-    ) > 0.5
+    """Downsample a [B,H,W] bool mask to a level resolution with torch's
+    legacy 'nearest' semantics (src = floor(dst * in/out)) — exactly what
+    the reference's F.interpolate does to pixel_mask
+    (deformable_detr.py:783-786). jax.image.resize's 'nearest' samples at
+    pixel centers instead, which disagrees on boundary rows of padded
+    batches."""
+    B, H, W = mask.shape
+    oh, ow = hw
+    ri = (jnp.arange(oh) * H) // oh
+    ci = (jnp.arange(ow) * W) // ow
+    return mask[:, ri][:, :, ci]
 
 
 def encoder_reference_points(spatial_shapes, valid_ratios):

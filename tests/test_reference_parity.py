@@ -267,3 +267,26 @@ def test_full_model_forward_matches_reference(ref, monkeypatch):
     np.testing.assert_allclose(
         out_j["pred_connectivity"],
         out_t.pred_connectivity.numpy(), atol=1e-5)
+
+    # ---- padded batch: pins the masked path end-to-end (mask cumsum
+    # position embedding, torch-legacy-nearest mask downsampling, valid
+    # ratios, value masking in MSDA) ----
+    mask_np = np.zeros((B, H, W), bool)
+    mask_np[:, :96, :120] = True
+    with torch.no_grad():
+        out_tp = tm(
+            pixel_values=torch.from_numpy(x).permute(0, 3, 1, 2),
+            pixel_mask=torch.from_numpy(mask_np).long(),
+            output_attention_states=True,
+        )
+    with jax.enable_x64():
+        out_jp = jm.apply(params, jnp.asarray(x), jnp.asarray(mask_np),
+                          deterministic=True)
+        out_jp = {k: np.asarray(v) for k, v in out_jp.items()
+                  if k in ("logits", "pred_boxes", "pred_rel")}
+    np.testing.assert_allclose(
+        out_jp["logits"], out_tp.logits.numpy(), atol=1e-4)
+    np.testing.assert_allclose(
+        out_jp["pred_boxes"], out_tp.pred_boxes.numpy(), atol=1e-5)
+    np.testing.assert_allclose(
+        out_jp["pred_rel"], out_tp.pred_rel.numpy(), atol=1e-5)
