@@ -324,23 +324,50 @@ def _level_pallas_bwd(VtT, ix, iy, aw, g, *, h, w, D, P):
 # level data marshalling
 # --------------------------------------------------------------------------
 
-def _vtt(value_l, h, w):
-    """[B, h*w, H, D] -> [B, H, h*D, w] (x minor; n = y*D + d)."""
+def _orient(h: int, w: int, D: int) -> str:
+    """FORWARD contraction orientation minimizing MXU cost for one level.
+
+    Stage-1 cost ~ streamed elements x padded K tiles: orientation "x"
+    contracts w (streams h*D sublanes), "y" contracts h (streams w*D).
+    Only levels with w > 128 >= h flip in practice (e.g. the 100x168
+    level-0 at the 800x1344 train bucket: 3200*2 vs 5376*1 units;
+    measured ~7% forward gain at that shape).
+
+    The BACKWARD always stays "x": its ~8 live [N, TQ] buffers with the
+    "y" layout's larger N overflow the VMEM budget even at the minimum
+    TQ=128 tile, which Mosaic survives only by serializing loads —
+    measured 10.8 s vs 0.79 s per full-res MSDA backward. The VJP
+    re-marshals from raw (value, loc, aw) residuals, so fwd/bwd are
+    free to use different layouts."""
+    cost_x = h * D * -(-w // _LANES)
+    cost_y = w * D * -(-h // _LANES)
+    return "y" if cost_y < cost_x else "x"
+
+
+def _vtt(value_l, h, w, orient="x"):
+    """[B, h*w, H, D] -> [B, H, h*D, w] (orient "x": x minor, n = y*D+d)
+    or [B, H, w*D, h] (orient "y": y minor, n = x*D+d)."""
     B, _, H, D = value_l.shape
-    return (value_l.reshape(B, h, w, H, D)
-            .transpose(0, 3, 1, 4, 2)                      # [B,H,h,D,w]
-            .reshape(B, H, h * D, w))
+    v = value_l.reshape(B, h, w, H, D)
+    if orient == "x":
+        return v.transpose(0, 3, 1, 4, 2).reshape(B, H, h * D, w)
+    return v.transpose(0, 3, 2, 4, 1).reshape(B, H, w * D, h)
 
 
-def _level_inputs(value_l, loc_l, aw_l, h, w, P, TQ):
+def _level_inputs(value_l, loc_l, aw_l, h, w, P, TQ, orient="x"):
     """Transpose values to [B,H,h*D,w] and rows to query-minor
-    [B,H,P,Q_pad] (zero attention weight on the padded queries)."""
+    [B,H,P,Q_pad] (zero attention weight on the padded queries).
+
+    With orient "y" the returned (ix, iy) are role-swapped to match the
+    transposed value layout: "ix" is the contracted-axis coordinate."""
     B, _, H, D = value_l.shape
     Q = loc_l.shape[1]
-    VtT = _vtt(value_l, h, w)
+    VtT = _vtt(value_l, h, w, orient)
 
     ix = loc_l[..., 0].astype(jnp.float32) * w - 0.5       # [B,Q,H,P]
     iy = loc_l[..., 1].astype(jnp.float32) * h - 0.5
+    if orient == "y":
+        ix, iy = iy, ix
 
     Q_pad = -(-Q // TQ) * TQ
 
@@ -378,11 +405,13 @@ def _msda_pallas_fwd(value, spatial_shapes, sampling_locations,
     start = 0
     for lid, (h, w) in enumerate(spatial_shapes):
         value_l = lax.slice_in_dim(value, start, start + h * w, axis=1)
-        TQ = _tq_fwd(h * D)
+        orient = _orient(h, w, D)
+        hk, wk = (h, w) if orient == "x" else (w, h)
+        TQ = _tq_fwd(hk * D)
         VtT, ix, iy, aw = _level_inputs(
             value_l, sampling_locations[:, :, :, lid],
-            attention_weights[:, :, :, lid], h, w, P, TQ)
-        o = _level_pallas_fwd(VtT, ix, iy, aw, h=h, w=w, D=D, P=P)
+            attention_weights[:, :, :, lid], h, w, P, TQ, orient)
+        o = _level_pallas_fwd(VtT, ix, iy, aw, h=hk, w=wk, D=D, P=P)
         o = o[:, :, :, :Q]                                  # drop query pad
         out = o if out is None else out + o
         start += h * w
@@ -484,11 +513,15 @@ def _msda_win_fwd(value, spatial_shapes, sampling_locations,
         loc_l = sampling_locations[:, :, :, lid]
         aw_l = attention_weights[:, :, :, lid]
         if h <= window:
-            TQ = _tq_fwd(h * D)
-            VtT, ix, iy, aw = _level_inputs(value_l, loc_l, aw_l, h, w, P, TQ)
+            orient = _orient(h, w, D)
+            hk, wk = (h, w) if orient == "x" else (w, h)
+            TQ = _tq_fwd(hk * D)
+            VtT, ix, iy, aw = _level_inputs(value_l, loc_l, aw_l, h, w, P,
+                                            TQ, orient)
             o = _level_pallas_fwd(VtT, ix, iy, aw,
-                                  h=h, w=w, D=D, P=P)[:, :, :, :Q]
+                                  h=hk, w=wk, D=D, P=P)[:, :, :, :Q]
         else:
+            # banding is strictly on y — see msda_window docstring
             TQ = _tq_fwd(window * D)
             segs = segment_bounds(Q, query_segments)
             Vb = _band_values(_vtt(value_l, h, w), h, D, window)

@@ -174,6 +174,12 @@ def windowed_level_coords(loc_l, aw_l, h: int, w: int, win: int,
     reproduces the windowed computation (values are never banded in the
     fallback; banding only changes which rows the kernel can reach, which
     the clamp already encodes).
+
+    Banding is strictly on y: raster-ordered query tiles (TQ >= 128
+    queries) span entire rows of the level, so per-tile locality exists
+    only in y — an x-band would clamp nearly every sample (measured:
+    banding the 100x168 full-res level 0 on x to save one 128-lane K
+    tile destroys the in-band-exactness contract).
     """
     TQ = fit_tile(win * D, 3)
     segs = segment_bounds(Q, query_segments)

@@ -140,6 +140,34 @@ def test_msda_gradients_flow(rng, impl):
     assert np.abs(np.asarray(grads[0])).sum() > 0
 
 
+def test_msda_pallas_orient_y_level(rng):
+    # (96, 130) flips the per-level contraction orientation (contracting
+    # h=96 needs one 128-lane K tile vs two for w=130); (4, 6) stays "x".
+    # fwd + bwd must match the torch oracle / matmul path either way.
+    from egtr_tpu.ops.msda_pallas import _orient
+    shapes = ((96, 130), (4, 6))
+    assert _orient(96, 130, 8) == "y" and _orient(4, 6, 8) == "x"
+    value, shapes, loc, aw = make_inputs(rng, B=1, Q=5, H=2, D=8,
+                                         shapes=shapes)
+    ref = torch_oracle(value, shapes, loc, aw)
+    out = ms_deform_attn(jnp.array(value), shapes, jnp.array(loc),
+                         jnp.array(aw), impl="pallas")
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5, rtol=1e-4)
+
+    def f(impl):
+        def g(v, l, a):
+            return (ms_deform_attn(v, shapes, l, a, impl=impl)
+                    * jnp.arange(out.size).reshape(out.shape)).sum()
+        return jax.grad(g, argnums=(0, 1, 2))(
+            jnp.array(value), jnp.array(loc), jnp.array(aw))
+
+    gp = f("pallas")
+    gm = f("matmul")
+    for a, b in zip(gp, gm):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-3, rtol=1e-3)
+
+
 # ---------------------------------------------------------------------------
 # windowed (banded) approximation — ops/msda_window.py
 # ---------------------------------------------------------------------------
