@@ -76,14 +76,24 @@ def _time_fps(params, x, infer, iters, warmup, pipelined=True):
         for _ in range(iters):
             np.asarray(infer(params, x))
         return x.shape[0] * iters / (time.perf_counter() - t0)
-    prev = None
+    from collections import deque
+    depth = 4  # outstanding fetches: the ~26 ms tunnel round trip is
+    #            latency, not bandwidth — async copies overlap each other
+    #            as well as device compute (copy_to_host_async starts
+    #            each transfer as soon as its step's data is ready)
+    pend = deque()
     t0 = time.perf_counter()
     for _ in range(iters):
         cur = infer(params, x)
-        if prev is not None:
-            np.asarray(prev)
-        prev = cur
-    np.asarray(prev)
+        try:
+            cur.copy_to_host_async()
+        except Exception:
+            pass
+        pend.append(cur)
+        if len(pend) > depth:
+            np.asarray(pend.popleft())
+    while pend:
+        np.asarray(pend.popleft())
     return x.shape[0] * iters / (time.perf_counter() - t0)
 
 
@@ -96,6 +106,8 @@ def main():
                     choices=["auto", "pallas", "matmul", "gather"])
     ap.add_argument("--msda-window", type=int, default=0,
                     help="banded-MSDA window height (0 = exact)")
+    ap.add_argument("--msda-int8", action="store_true",
+                    help="int8 stage-1 MSDA (opt-in approximation)")
     ap.add_argument("--batch8", dest="batch8", action="store_true",
                     default=True, help="also measure batch-8 throughput")
     ap.add_argument("--no-batch8", dest="batch8", action="store_false")
@@ -106,7 +118,8 @@ def main():
     # FPS-protocol shape: 600x1000 -> bucket 608x1008 (static)
     H, W = 608, 1008
     cfg_kw = {"msda_impl": args.msda_impl,
-              "msda_window": args.msda_window}
+              "msda_window": args.msda_window,
+              "msda_int8": args.msda_int8}
 
     params, x, infer = _build(cfg_kw, 1, H, W)
     fps = _time_fps(params, x, infer, args.iters, args.warmup)

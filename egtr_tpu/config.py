@@ -96,6 +96,11 @@ class EgtrConfig:
     # than ~window/2 rows from a tile's weighted-mean row are clamped to
     # the band edge (ops/msda_window.py). Typical values: 16 or 32.
     msda_window: int = 0
+    # Opt-in int8 stage-1 for the pallas MSDA kernel: values quantized
+    # symmetrically per (batch, head, level), hat vectors rounded to 7
+    # bits, stage-1 dot in the MXU's double-rate int8 mode. Gradients
+    # stay exact-bf16 (straight-through). Composes with msda_window.
+    msda_int8: bool = False
 
     @property
     def head_dim(self) -> int:

@@ -198,7 +198,7 @@ class DeformableDetrBase(nn.Module):
                 E, cfg.encoder_ffn_dim, cfg.encoder_attention_heads, Lv,
                 cfg.encoder_n_points, cfg.dropout, cfg.activation_dropout,
                 dtype=dtype, msda_impl=cfg.msda_impl,
-                msda_window=cfg.msda_window,
+                msda_window=cfg.msda_window, msda_int8=cfg.msda_int8,
                 name=f"encoder_layer_{i}",
             )(hidden, pos_flatten, enc_ref, shapes, mask_flatten,
               deterministic)
@@ -285,7 +285,7 @@ class DeformableDetrBase(nn.Module):
                 E, cfg.decoder_ffn_dim, cfg.decoder_attention_heads, Lv,
                 cfg.decoder_n_points, cfg.dropout, cfg.attention_dropout,
                 cfg.activation_dropout, dtype=dtype,
-                msda_impl=cfg.msda_impl,
+                msda_impl=cfg.msda_impl, msda_int8=cfg.msda_int8,
                 name=f"decoder_layer_{i}",
             )(hidden, query_pos, encoder_hidden, ref_input, shapes,
               mask_flatten, deterministic)

@@ -155,6 +155,8 @@ class MSDeformableAttention(nn.Module):
     # opt-in banded approximation (ops/msda_window.py); only set where the
     # queries are raster-ordered (encoder self-attention)
     window: int = 0
+    # opt-in int8 stage-1 (ops/msda_pallas.py msda_pallas_q)
+    int8: bool = False
 
     @nn.compact
     def __call__(
@@ -210,7 +212,8 @@ class MSDeformableAttention(nn.Module):
         out = ms_deform_attn(
             value, tuple(spatial_shapes), loc,
             weights.astype(value.dtype), impl=self.msda_impl,
-            window=self.window, query_segments=query_segments)
+            window=self.window, query_segments=query_segments,
+            int8=self.int8)
         out = dense(E, "output_proj", dtype=self.dtype,
                     kernel_init=nn.initializers.xavier_uniform())(out)
         return out
@@ -229,6 +232,7 @@ class EncoderLayer(nn.Module):
     dtype: Optional[jnp.dtype] = None
     msda_impl: str = "auto"
     msda_window: int = 0
+    msda_int8: bool = False
 
     @nn.compact
     def __call__(self, hidden_states, position_embeddings, reference_points,
@@ -239,7 +243,8 @@ class EncoderLayer(nn.Module):
         hidden_states = MSDeformableAttention(
             self.d_model, self.num_heads, self.n_levels, self.n_points,
             dtype=self.dtype, msda_impl=self.msda_impl,
-            window=self.msda_window, name="self_attn",
+            window=self.msda_window, int8=self.msda_int8,
+            name="self_attn",
         )(hidden_states, hidden_states, reference_points, spatial_shapes,
           position_embeddings=position_embeddings, value_mask=value_mask,
           query_segments=spatial_shapes if self.msda_window else None)
@@ -284,6 +289,7 @@ class DecoderLayer(nn.Module):
     activation_dropout: float = 0.0
     dtype: Optional[jnp.dtype] = None
     msda_impl: str = "auto"
+    msda_int8: bool = False
 
     @nn.compact
     def __call__(self, hidden_states, query_pos, encoder_hidden_states,
@@ -302,7 +308,8 @@ class DecoderLayer(nn.Module):
         residual = hidden_states
         hidden_states = MSDeformableAttention(
             self.d_model, self.num_heads, self.n_levels, self.n_points,
-            dtype=self.dtype, msda_impl=self.msda_impl, name="encoder_attn",
+            dtype=self.dtype, msda_impl=self.msda_impl,
+            int8=self.msda_int8, name="encoder_attn",
         )(hidden_states, encoder_hidden_states, reference_points,
           spatial_shapes, position_embeddings=query_pos,
           value_mask=value_mask)

@@ -311,6 +311,7 @@ def ms_deform_attn(
     impl: str = "auto",
     window: int = 0,
     query_segments=None,
+    int8: bool = False,
 ) -> jax.Array:
     """Pure-JAX multi-scale deformable attention (forward; differentiable).
 
@@ -323,6 +324,12 @@ def ms_deform_attn(
     ``query_segments`` must then give the raster layout of the queries
     (encoder self-attention: the spatial_shapes); pass None for
     non-raster queries only if window == 0.
+
+    int8 = True (opt-in, ``config.msda_int8``) quantizes the stage-1
+    contraction (values to int8 per batch/head/level, hat vectors to 7
+    bits) for the MXU's double-rate int8 mode; gradients remain the
+    exact bf16 path (straight-through). Always routes to the Pallas
+    kernel (interpreted on CPU).
     """
     assert len(spatial_shapes) == sampling_locations.shape[3]
     spatial_shapes = tuple((int(h), int(w)) for h, w in spatial_shapes)
@@ -333,21 +340,28 @@ def ms_deform_attn(
         raise ValueError("windowed MSDA requires query_segments "
                          "(raster layout of the queries)")
 
-    if impl == "auto":
+    if int8:
+        impl = "pallas"   # interpret-mode on CPU; quantization is the point
+    elif impl == "auto":
         impl = "pallas" if jax.default_backend() not in ("cpu",) else "matmul"
-    if impl == "pallas":
+    if impl == "pallas" and not int8:
         from .msda_pallas import msda_pallas_supported
         if not msda_pallas_supported():
             impl = "matmul"
     if impl == "pallas":
-        from .msda_pallas import msda_pallas, msda_pallas_win
+        from .msda_pallas import (msda_pallas, msda_pallas_q,
+                                  msda_pallas_win, msda_pallas_win_q)
         if window > 0:
+            win_op = msda_pallas_win_q if int8 else msda_pallas_win
+
             def fn(v, l, a):
-                return msda_pallas_win(v, spatial_shapes, l, a,
-                                       window, query_segments)
+                return win_op(v, spatial_shapes, l, a,
+                              window, query_segments)
         else:
+            op = msda_pallas_q if int8 else msda_pallas
+
             def fn(v, l, a):
-                return msda_pallas(v, spatial_shapes, l, a)
+                return op(v, spatial_shapes, l, a)
         axis = _ambient_batch_axis(value.shape[0])
         if axis is not None:
             # Under a data-parallel mesh the XLA SPMD partitioner cannot

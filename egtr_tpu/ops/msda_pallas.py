@@ -87,26 +87,42 @@ def _tq_bwd(N: int) -> int:
 
 def _fwd_body(ix_ref, iy_ref, aw_ref, vtt, out_ref, h, w, D, P, cdt):
     """vtt: [N, w] array (N = h*D; h is the band height on the windowed
-    path, the full level height otherwise — iy is band-local there)."""
+    path, the full level height otherwise — iy is band-local there).
+
+    When ``vtt`` is int8 (opt-in ``msda_int8``), the hat vector is
+    rounded to 7 bits and the stage-1 dot runs in the MXU's int8 mode
+    (2x bf16 throughput on v5e); the caller pre-folds the value scale
+    and the 1/127 hat scale into the attention-weight rows."""
     N = vtt.shape[0]
     TQ = ix_ref.shape[3]
+    quant = vtt.dtype == jnp.int8
 
     xsub = lax.broadcasted_iota(jnp.int32, (w, TQ), 0).astype(jnp.float32)
-    ysub = (lax.broadcasted_iota(jnp.int32, (N, TQ), 0) // D).astype(
-        jnp.float32)
+    ysub = lax.broadcasted_iota(jnp.int32, (h, TQ), 0).astype(jnp.float32)
 
-    acc = jnp.zeros((N, TQ), jnp.float32)
+    # The kernel is VPU-bound (stage-1 MACs/element = w/MXU-rate ~ the
+    # 6+ VPU ops/element of the naive hy build + triple multiply), so
+    # the y-hat and its attention-weight product are built at [h, TQ]
+    # and broadcast across the D sublanes of the reshaped [h, D, TQ]
+    # accumulator — ~3x fewer [N, TQ]-sized VPU ops per point.
+    acc = jnp.zeros((h, D, TQ), jnp.float32)
     for p in range(P):
         ixp = ix_ref[0, 0, p, :][None, :]                  # [1, TQ]
         iyp = iy_ref[0, 0, p, :][None, :]
         awp = aw_ref[0, 0, p, :][None, :]
-        hxT = jnp.maximum(0.0, 1.0 - jnp.abs(ixp - xsub)).astype(cdt)
-        Tp = jnp.dot(vtt, hxT,
-                     preferred_element_type=jnp.float32)   # [N, TQ]
-        hy = jnp.maximum(0.0, 1.0 - jnp.abs(iyp - ysub))
-        acc = acc + Tp * (hy * awp)
-    # fold y (sublane groups of D): [h*D, TQ] -> [D, TQ]
-    out_ref[0, 0] = acc.reshape(h, D, TQ).sum(axis=0)
+        hx = jnp.maximum(0.0, 1.0 - jnp.abs(ixp - xsub))   # [w, TQ]
+        if quant:
+            hxq = jnp.round(hx * 127.0).astype(jnp.int8)
+            Tp = jnp.dot(vtt, hxq,
+                         preferred_element_type=jnp.int32
+                         ).astype(jnp.float32)             # [N, TQ]
+        else:
+            Tp = jnp.dot(vtt, hx.astype(cdt),
+                         preferred_element_type=jnp.float32)
+        hyw = jnp.maximum(0.0, 1.0 - jnp.abs(iyp - ysub)) * awp   # [h, TQ]
+        acc = acc + Tp.reshape(h, D, TQ) * hyw[:, None, :]
+    # fold y: [h, D, TQ] -> [D, TQ]
+    out_ref[0, 0] = acc.sum(axis=0)
 
 
 def _fwd_kernel(ix_ref, iy_ref, aw_ref, vtt_ref, out_ref, *, h, w, D, P, cdt):
@@ -380,6 +396,21 @@ def _level_inputs(value_l, loc_l, aw_l, h, w, P, TQ, orient="x"):
     return VtT, rows(ix), rows(iy), rows(aw_l.astype(jnp.float32))
 
 
+def _quantize_level(VtT, ix, iy, aw):
+    """Symmetric int8 quantization of one level's values.
+
+    Scale is per (batch, head) over the level slice; both the value
+    scale and the 7-bit hat scale (1/127 each) are folded into the
+    attention-weight rows, so the kernel's int32 accumulator needs a
+    single f32 multiply to dequantize."""
+    sv = jnp.max(jnp.abs(VtT.astype(jnp.float32)), axis=(2, 3),
+                 keepdims=True)                            # [B,H,1,1]
+    sv = jnp.maximum(sv, 1e-12)
+    vq = jnp.round(VtT.astype(jnp.float32) * (127.0 / sv)).astype(jnp.int8)
+    aw_s = aw * (sv / (127.0 * 127.0))                     # [B,H,P,Qp]
+    return vq, ix, iy, aw_s
+
+
 # --------------------------------------------------------------------------
 # custom-vjp op
 # --------------------------------------------------------------------------
@@ -395,8 +426,8 @@ def msda_pallas(value, spatial_shapes: Sequence[Tuple[int, int]],
     return out
 
 
-def _msda_pallas_fwd(value, spatial_shapes, sampling_locations,
-                     attention_weights):
+def _msda_pallas_fwd_impl(value, spatial_shapes, sampling_locations,
+                          attention_weights, quant=False):
     B, S, H, D = value.shape
     _, Q, _, L, P, _ = sampling_locations.shape
     dtype = value.dtype
@@ -411,6 +442,8 @@ def _msda_pallas_fwd(value, spatial_shapes, sampling_locations,
         VtT, ix, iy, aw = _level_inputs(
             value_l, sampling_locations[:, :, :, lid],
             attention_weights[:, :, :, lid], h, w, P, TQ, orient)
+        if quant:
+            VtT, ix, iy, aw = _quantize_level(VtT, ix, iy, aw)
         o = _level_pallas_fwd(VtT, ix, iy, aw, h=hk, w=wk, D=D, P=P)
         o = o[:, :, :, :Q]                                  # drop query pad
         out = o if out is None else out + o
@@ -418,6 +451,12 @@ def _msda_pallas_fwd(value, spatial_shapes, sampling_locations,
     # [B,H,D,Q] -> [B,Q,H*D]
     out = out.transpose(0, 3, 1, 2).reshape(B, Q, H * D).astype(dtype)
     return out, (value, sampling_locations, attention_weights)
+
+
+def _msda_pallas_fwd(value, spatial_shapes, sampling_locations,
+                     attention_weights):
+    return _msda_pallas_fwd_impl(value, spatial_shapes, sampling_locations,
+                                 attention_weights)
 
 
 def _msda_pallas_bwd(spatial_shapes, res, g):
@@ -468,6 +507,31 @@ def _msda_pallas_bwd(spatial_shapes, res, g):
 msda_pallas.defvjp(_msda_pallas_fwd, _msda_pallas_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def msda_pallas_q(value, spatial_shapes: Sequence[Tuple[int, int]],
+                  sampling_locations, attention_weights):
+    """int8-stage-1 multi-scale deformable attention (approximate,
+    opt-in via ``config.msda_int8``).
+
+    Values are quantized symmetrically to int8 per (batch, head, level)
+    and the hat vectors rounded to 7 bits, so stage 1 runs in the MXU's
+    double-rate int8 mode. The backward is the exact bf16 path on the
+    raw residuals (straight-through estimator), so training gradients
+    are identical to the exact kernel's."""
+    out, _ = _msda_pallas_q_fwd(value, spatial_shapes, sampling_locations,
+                                attention_weights)
+    return out
+
+
+def _msda_pallas_q_fwd(value, spatial_shapes, sampling_locations,
+                       attention_weights):
+    return _msda_pallas_fwd_impl(value, spatial_shapes, sampling_locations,
+                                 attention_weights, quant=True)
+
+
+msda_pallas_q.defvjp(_msda_pallas_q_fwd, _msda_pallas_bwd)
+
+
 # --------------------------------------------------------------------------
 # windowed (banded) variant — see ops/msda_window.py for the contract
 # --------------------------------------------------------------------------
@@ -501,7 +565,7 @@ def msda_pallas_win(value, spatial_shapes: Sequence[Tuple[int, int]],
 
 
 def _msda_win_fwd(value, spatial_shapes, sampling_locations,
-                  attention_weights, window, query_segments):
+                  attention_weights, window, query_segments, quant=False):
     B, S, H, D = value.shape
     _, Q, _, L, P, _ = sampling_locations.shape
     dtype = value.dtype
@@ -518,15 +582,20 @@ def _msda_win_fwd(value, spatial_shapes, sampling_locations,
             TQ = _tq_fwd(hk * D)
             VtT, ix, iy, aw = _level_inputs(value_l, loc_l, aw_l, h, w, P,
                                             TQ, orient)
+            if quant:
+                VtT, ix, iy, aw = _quantize_level(VtT, ix, iy, aw)
             o = _level_pallas_fwd(VtT, ix, iy, aw,
                                   h=hk, w=wk, D=D, P=P)[:, :, :, :Q]
         else:
             # banding is strictly on y — see msda_window docstring
             TQ = _tq_fwd(window * D)
             segs = segment_bounds(Q, query_segments)
-            Vb = _band_values(_vtt(value_l, h, w), h, D, window)
+            VtT = _vtt(value_l, h, w)
             bidx, ix, iyb, _, awe, _, _ = _win_level_rows(
                 loc_l, aw_l, h, w, window, segs, TQ)
+            if quant:
+                VtT, ix, iyb, awe = _quantize_level(VtT, ix, iyb, awe)
+            Vb = _band_values(VtT, h, D, window)
             o = _level_pallas_fwd_win(Vb, bidx, ix, iyb, awe,
                                       win=window, w=w, D=D, P=P)
             o = unsegment_cols(o, segs, TQ)
@@ -597,3 +666,25 @@ def _msda_win_bwd(spatial_shapes, window, query_segments, res, g):
 
 
 msda_pallas_win.defvjp(_msda_win_fwd, _msda_win_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 4, 5))
+def msda_pallas_win_q(value, spatial_shapes: Sequence[Tuple[int, int]],
+                      sampling_locations, attention_weights,
+                      window: int, query_segments):
+    """Windowed + int8-stage-1 variant: composes the banded
+    approximation with int8 quantization (see ``msda_pallas_q``).
+    Backward is the exact windowed bf16 path (straight-through)."""
+    out, _ = _msda_win_q_fwd(value, spatial_shapes, sampling_locations,
+                             attention_weights, window, query_segments)
+    return out
+
+
+def _msda_win_q_fwd(value, spatial_shapes, sampling_locations,
+                    attention_weights, window, query_segments):
+    return _msda_win_fwd(value, spatial_shapes, sampling_locations,
+                         attention_weights, window, query_segments,
+                         quant=True)
+
+
+msda_pallas_win_q.defvjp(_msda_win_q_fwd, _msda_win_bwd)

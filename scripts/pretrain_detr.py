@@ -35,7 +35,7 @@ def parse_args():
     p.add_argument("--max_epochs_finetune", type=int, default=50)
     p.add_argument("--patience", type=int, default=15)
     p.add_argument("--compute_dtype", default="bfloat16")
-    p.add_argument("--use_remat", type=str2bool, default=True)
+    p.add_argument("--use_remat", type=str2bool, default=False)
     p.add_argument("--max_gt_boxes", type=int, default=64)
     p.add_argument("--dp", type=int, default=None)
     p.add_argument("--mp", type=int, default=1)

@@ -68,7 +68,7 @@ def parse_args():
     p.add_argument("--patience", type=int, default=15)
     # TPU-native knobs
     p.add_argument("--compute_dtype", default="bfloat16")
-    p.add_argument("--use_remat", type=str2bool, default=True)
+    p.add_argument("--use_remat", type=str2bool, default=False)
     p.add_argument("--max_gt_boxes", type=int, default=64)
     p.add_argument("--max_gt_rels", type=int, default=192)
     p.add_argument("--dp", type=int, default=None,

@@ -272,6 +272,69 @@ def test_msda_window_geq_height_is_exact(rng):
                                atol=1e-6, rtol=1e-5)
 
 
+def test_msda_int8_exactly_representable_inputs(rng):
+    # values are multiples of s with max = 127*s and sampling coords are
+    # multiples of 1/127 pixel -> both quantizations are lossless, so the
+    # int8 path must equal the exact kernel to f32 roundoff
+    shapes = ((12, 10),)
+    B, Q, H, D, P = 1, 6, 2, 8, 4
+    s = 0.03125
+    value = (rng.integers(-127, 128, (B, 120, H, D)) * s).astype(np.float32)
+    value[0, 0, 0, 0] = 127 * s  # pin the max so the scale is exactly s
+    k = rng.integers(0, 127 * 12, (B, Q, H, 1, P, 2)).astype(np.float32)
+    # pixel coord = k/127 -> hat weights are multiples of 1/127
+    loc = (k / 127.0 + 0.5) / np.array([10.0, 12.0], np.float32)
+    aw = rng.uniform(0, 1, size=(B, Q, H, 1 * P)).astype(np.float32)
+    aw = (aw / aw.sum(-1, keepdims=True)).reshape(B, Q, H, 1, P)
+
+    exact = ms_deform_attn(jnp.array(value), shapes, jnp.array(loc),
+                           jnp.array(aw), impl="pallas")
+    q = ms_deform_attn(jnp.array(value), shapes, jnp.array(loc),
+                       jnp.array(aw), impl="pallas", int8=True)
+    np.testing.assert_allclose(np.asarray(q), np.asarray(exact),
+                               atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("window", [0, 8])
+def test_msda_int8_error_bound(rng, window):
+    # random inputs: int8 quantization error stays small relative to the
+    # output scale (values ~N(0,1) -> |v|max ~ 3, lsb ~ 3/127)
+    shapes = ((16, 16), (8, 8))
+    value, shapes, loc, aw = make_inputs(
+        rng, B=2, Q=sum(h * w for h, w in shapes), H=2, D=8, shapes=shapes)
+    kw = dict(window=window, query_segments=shapes if window else None)
+    exact = ms_deform_attn(jnp.array(value), shapes, jnp.array(loc),
+                           jnp.array(aw), impl="pallas", **kw)
+    q = ms_deform_attn(jnp.array(value), shapes, jnp.array(loc),
+                       jnp.array(aw), impl="pallas", int8=True, **kw)
+    err = np.abs(np.asarray(q) - np.asarray(exact)).max()
+    scale = np.abs(np.asarray(exact)).max()
+    assert err < 0.05 * scale, (err, scale)
+
+
+def test_msda_int8_grads_are_exact_path_grads(rng, monkeypatch):
+    # straight-through: the int8 op's VJP must equal the exact kernel's
+    # (force the pallas interpreter so int8=False doesn't fall back to
+    # the matmul path, whose autodiff differs by roundoff)
+    from egtr_tpu.ops import msda_pallas
+    monkeypatch.setattr(msda_pallas, "INTERPRET", True)
+    value, shapes, loc, aw = make_inputs(rng, B=1, Q=16, H=2, D=8,
+                                         shapes=((6, 9), (3, 5)))
+
+    def f(int8):
+        def g(v, l, a):
+            out = ms_deform_attn(v, shapes, l, a, impl="pallas", int8=int8)
+            return (out * jnp.arange(out.size).reshape(out.shape)).sum()
+        return jax.grad(g, argnums=(0, 1, 2))(
+            jnp.array(value), jnp.array(loc), jnp.array(aw))
+
+    gq = f(True)
+    ge = f(False)
+    for a, b in zip(gq, ge):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6, rtol=1e-6)
+
+
 def test_msda_pallas_under_mesh(rng, monkeypatch):
     """Under a data-parallel mesh the pallas path must run per-shard via
     shard_map (XLA cannot partition a custom call) and match the
