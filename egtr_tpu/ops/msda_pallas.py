@@ -206,9 +206,13 @@ def _level_pallas_fwd_win(Vb, bidx, ix, iy, aw, *, win, w, D, P):
 # backward
 # --------------------------------------------------------------------------
 
-def _bwd_rows_kernel(ix_ref, iy_ref, aw_ref, vtt_ref, g_ref,
-                     dix_ref, diy_ref, daw_ref, *, h, w, D, P, cdt):
-    N = vtt_ref.shape[2]
+def _bwd_rows_body(ix_ref, iy_ref, aw_ref, vtt, g_ref,
+                   dix_ref, diy_ref, daw_ref, h, w, D, P, cdt):
+    """vtt: [N, w] array (N = h*D; h is the band height on the windowed
+    path — iy is band-local there, and the hat support of clamped
+    coordinates never leaves the band, so banded row grads are exactly
+    the full-height row grads)."""
+    N = vtt.shape[0]
     TQ = ix_ref.shape[3]
 
     xsub = lax.broadcasted_iota(jnp.int32, (w, TQ), 0).astype(jnp.float32)
@@ -232,14 +236,14 @@ def _bwd_rows_kernel(ix_ref, iy_ref, aw_ref, vtt_ref, g_ref,
 
         # dhxT = VtT^T @ dT  (contract the N sublanes of both — TN)
         dhxT = lax.dot_general(
-            vtt_ref[0, 0], dT.astype(cdt), (((0,), (0,)), ((), ())),
+            vtt, dT.astype(cdt), (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)            # [w, TQ]
         ghx = jnp.where(jnp.abs(zx) < 1.0, -jnp.sign(zx), 0.0)
         dix_ref[0, 0, pl.ds(p, 1), :] = jnp.sum(
             dhxT * ghx, axis=0, keepdims=True)
 
         # recompute T for the weight/iy grads
-        T = jnp.dot(vtt_ref[0, 0], hxT.astype(cdt),
+        T = jnp.dot(vtt, hxT.astype(cdt),
                     preferred_element_type=jnp.float32)    # [N, TQ]
         Tg = T * g_tile
         daw_ref[0, 0, pl.ds(p, 1), :] = jnp.sum(
@@ -247,6 +251,20 @@ def _bwd_rows_kernel(ix_ref, iy_ref, aw_ref, vtt_ref, g_ref,
         ghy = jnp.where(jnp.abs(zy) < 1.0, -jnp.sign(zy), 0.0)
         diy_ref[0, 0, pl.ds(p, 1), :] = jnp.sum(
             awp * ghy * Tg, axis=0, keepdims=True)
+
+
+def _bwd_rows_kernel(ix_ref, iy_ref, aw_ref, vtt_ref, g_ref,
+                     dix_ref, diy_ref, daw_ref, *, h, w, D, P, cdt):
+    _bwd_rows_body(ix_ref, iy_ref, aw_ref, vtt_ref[0, 0], g_ref,
+                   dix_ref, diy_ref, daw_ref, h, w, D, P, cdt)
+
+
+def _bwd_rows_kernel_win(bidx_ref, ix_ref, iy_ref, aw_ref, vb_ref, g_ref,
+                         dix_ref, diy_ref, daw_ref, *, win, w, D, P, cdt):
+    # bidx_ref (scalar prefetch) is consumed by the index_maps only
+    del bidx_ref
+    _bwd_rows_body(ix_ref, iy_ref, aw_ref, vb_ref[0, 0, 0], g_ref,
+                   dix_ref, diy_ref, daw_ref, win, w, D, P, cdt)
 
 
 def _bwd_dvtt_kernel(ix_ref, iy_ref, aw_ref, g_ref, dvtt_ref, *,
@@ -282,6 +300,140 @@ def _bwd_dvtt_kernel(ix_ref, iy_ref, aw_ref, g_ref, dvtt_ref, *,
     @pl.when(t != 0)
     def _():
         dvtt_ref[0, 0] = dvtt_ref[0, 0] + dvtt
+
+
+def _bwd_dvtt_kernel_win(bidx_ref, perm_ref, first_ref,
+                         ix_ref, iy_ref, aw_ref, g_ref, dvb_ref, *,
+                         win, w, D, P, cdt):
+    """Banded value grads. Grid (B, H, T) runs tiles in band-sorted
+    order (perm prefetch), so all tiles accumulating into one band
+    block are consecutive; ``first`` marks the first tile of each band
+    run (init vs accumulate). Bands never selected by any tile are
+    masked to zero by the caller."""
+    del bidx_ref
+    b, hh, t = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    N = dvb_ref.shape[3]
+    TQ = ix_ref.shape[3]
+
+    xsub = lax.broadcasted_iota(jnp.int32, (w, TQ), 0).astype(jnp.float32)
+    ysub = (lax.broadcasted_iota(jnp.int32, (N, TQ), 0) // D).astype(
+        jnp.float32)
+
+    g = g_ref[0, 0].astype(jnp.float32)                    # [D, TQ]
+    g_tile = jnp.broadcast_to(g[None], (win, D, TQ)).reshape(N, TQ)
+
+    dvtt = jnp.zeros((N, w), jnp.float32)
+    for p in range(P):
+        ixp = ix_ref[0, 0, p, :][None, :]
+        iyp = iy_ref[0, 0, p, :][None, :]
+        awp = aw_ref[0, 0, p, :][None, :]
+        hxT = jnp.maximum(0.0, 1.0 - jnp.abs(ixp - xsub))
+        hy = jnp.maximum(0.0, 1.0 - jnp.abs(iyp - ysub))
+        dT = hy * awp * g_tile                             # [N, TQ] f32
+        dvtt = dvtt + lax.dot_general(
+            dT.astype(cdt), hxT.astype(cdt), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)            # [N, w]
+
+    first = first_ref[b, hh, t] != 0
+
+    @pl.when(first)
+    def _():
+        dvb_ref[0, 0, 0] = dvtt
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        dvb_ref[0, 0, 0] = dvb_ref[0, 0, 0] + dvtt
+
+
+def _level_pallas_bwd_win(Vb, bidx, ix, iyb, aw, g, *, win, w, D, P):
+    """Banded backward: same contract as ``_level_pallas_bwd`` but with
+    band-local coordinates and banded values/grads.
+
+    Valid because clamped coordinates' hat support never leaves the
+    selected band (the forward kernel relies on the same invariant), so
+    the banded row/value grads equal the full-height grads restricted
+    to the band. Returns (dVb f32 [B,H,nb,win*D,w], dix/diy/daw rows) —
+    the caller overlap-adds dVb into the full dVtT and masks
+    never-selected bands.
+    """
+    B, H, nb, N, _ = Vb.shape
+    Q_pad = ix.shape[3]
+    TQ = _tq_fwd(N)  # must match the forward's band-selection tiling
+    assert Q_pad % TQ == 0 and bidx.shape == (B, H, Q_pad // TQ)
+    n_tiles = Q_pad // TQ
+
+    rows_spec = pl.BlockSpec((1, 1, P, TQ),
+                             lambda b, hh, t, *refs: (b, hh, 0, t))
+    g_spec = pl.BlockSpec((1, 1, D, TQ),
+                          lambda b, hh, t, *refs: (b, hh, 0, t))
+
+    kern_r = functools.partial(_bwd_rows_kernel_win, win=win, w=w, D=D,
+                               P=P, cdt=Vb.dtype)
+    grid_r = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, H, n_tiles),
+        in_specs=[
+            rows_spec, rows_spec, rows_spec,
+            pl.BlockSpec((1, 1, 1, N, w),
+                         lambda b, hh, t, bref: (b, hh, bref[b, hh, t],
+                                                 0, 0)),
+            g_spec,
+        ],
+        out_specs=[rows_spec, rows_spec, rows_spec],
+    )
+    dix, diy, daw = pl.pallas_call(
+        kern_r,
+        grid_spec=grid_r,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, P, Q_pad), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, P, Q_pad), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, P, Q_pad), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(bidx, ix, iyb, aw, Vb, g)
+
+    # band-sorted tile order: accumulation runs over consecutive tiles
+    perm = jnp.argsort(bidx, axis=2, stable=True).astype(jnp.int32)
+    bsort = jnp.take_along_axis(bidx, perm, axis=2)
+    first = jnp.concatenate(
+        [jnp.ones_like(bsort[:, :, :1]),
+         (bsort[:, :, 1:] != bsort[:, :, :-1]).astype(jnp.int32)], axis=2)
+
+    def permed(spec_shape):
+        return pl.BlockSpec(
+            spec_shape,
+            lambda b, hh, t, bref, pref, fref: (b, hh, 0, pref[b, hh, t]))
+
+    kern_v = functools.partial(_bwd_dvtt_kernel_win, win=win, w=w, D=D,
+                               P=P, cdt=Vb.dtype)
+    grid_v = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(B, H, n_tiles),
+        in_specs=[
+            permed((1, 1, P, TQ)), permed((1, 1, P, TQ)),
+            permed((1, 1, P, TQ)),
+            pl.BlockSpec((1, 1, D, TQ),
+                         lambda b, hh, t, bref, pref, fref:
+                         (b, hh, 0, pref[b, hh, t])),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, 1, N, w),
+            # bref here is bsort: the band of sorted position t
+            lambda b, hh, t, bref, pref, fref: (b, hh, bref[b, hh, t],
+                                                0, 0)),
+    )
+    dVb = pl.pallas_call(
+        kern_v,
+        grid_spec=grid_v,
+        out_shape=jax.ShapeDtypeStruct((B, H, nb, N, w), jnp.float32),
+        interpret=_interpret(),
+    )(bsort, perm, first, ix, iyb, aw, g)
+
+    # zero bands never selected by any tile (their blocks are unwritten)
+    used = (bidx[:, :, None, :] == jnp.arange(nb)[None, None, :, None]
+            ).any(axis=3)                                   # [B,H,nb]
+    dVb = jnp.where(used[..., None, None], dVb, 0.0)
+    return dVb, dix, diy, daw
 
 
 def _level_pallas_bwd(VtT, ix, iy, aw, g, *, h, w, D, P):
@@ -639,12 +791,30 @@ def _msda_win_bwd(spatial_shapes, window, query_segments, res, g):
         else:
             TQ = _tq_fwd(window * D)
             segs = segment_bounds(Q, query_segments)
-            VtT = _vtt(value_l, h, w)
-            _, ix, _, iyc, awe, inband, in_img = _win_level_rows(
-                loc_l, aw_l, h, w, window, segs, TQ)
             gq_seg = segment_cols(gq, segs, TQ)
-            dVtT, dix, diy, daw = _level_pallas_bwd(
-                VtT, ix, iyc, awe, gq_seg, h=h, w=w, D=D, P=P)
+            if _tq_bwd(window * D) == TQ:
+                # banded backward: streams window*D rows like the
+                # forward (the clamp keeps all hat support in-band)
+                bidx, ix, iyb, _, awe, inband, in_img = _win_level_rows(
+                    loc_l, aw_l, h, w, window, segs, TQ)
+                Vb = _band_values(_vtt(value_l, h, w), h, D, window)
+                dVb, dix, diy, daw = _level_pallas_bwd_win(
+                    Vb, bidx, ix, iyb, awe, gq_seg,
+                    win=window, w=w, D=D, P=P)
+                # overlap-add band slices back into the full value grad
+                dVtT = jnp.zeros((B, H, h * D, w), jnp.float32)
+                for j, s in enumerate(band_starts(h, window)):
+                    dVtT = dVtT.at[:, :, s * D:(s + window) * D, :].add(
+                        dVb[:, :, j])
+            else:
+                # larger windows: the banded row-grad live set would
+                # overflow VMEM at the forward's tile; run the exact
+                # kernel on the clamp-transformed coords instead
+                VtT = _vtt(value_l, h, w)
+                _, ix, _, iyc, awe, inband, in_img = _win_level_rows(
+                    loc_l, aw_l, h, w, window, segs, TQ)
+                dVtT, dix, diy, daw = _level_pallas_bwd(
+                    VtT, ix, iyc, awe, gq_seg, h=h, w=w, D=D, P=P)
             diy = diy * inband                     # zero where clamped
             daw = daw * in_img                     # d aw_eff / d aw
 
