@@ -9,10 +9,11 @@ axon dispatch+fetch overhead that dominates batch-1 on this tunnel).
 
 The forward includes device-side top-k triplet extraction (the deployment
 path) and fetches the packed top-k outputs for every image. The headline
-loop is pipelined depth-2 (dispatch step i, then fetch step i-1) — the
-reference protocol loop has no per-step sync at all, so overlapping the
-tunnel round-trip with device compute is the apples-to-apples comparison;
-``strict_sync_fps`` reports the fully-synchronous per-image latency view.
+loop keeps up to 4 async host fetches in flight (copy_to_host_async) —
+the reference protocol loop has no per-step sync at all, and the tunnel
+round trip is latency, not bandwidth, so overlapping fetches with device
+compute is the apples-to-apples comparison; ``strict_sync_fps`` reports
+the fully-synchronous per-image latency view.
 """
 
 import argparse
@@ -111,6 +112,9 @@ def main():
     ap.add_argument("--batch8", dest="batch8", action="store_true",
                     default=True, help="also measure batch-8 throughput")
     ap.add_argument("--no-batch8", dest="batch8", action="store_false")
+    ap.add_argument("--win16", action="store_true",
+                    help="also measure the banded (window=16) batch-8 "
+                         "serving point (extra compile, ~3 min)")
     args = ap.parse_args()
     if args.quick:
         args.iters = 5
@@ -138,6 +142,12 @@ def main():
         it8 = max(args.iters // 4, 2)
         result["batch8_fps"] = round(
             _time_fps(params8, x8, infer8, it8, 2), 3)
+        if args.win16 and args.msda_window == 0:
+            # opt-in banded-MSDA serving point (documented approximation)
+            cfg_w = dict(cfg_kw, msda_window=16)
+            params_w, x_w, infer_w = _build(cfg_w, 8, H, W)
+            result["batch8_win16_fps"] = round(
+                _time_fps(params_w, x_w, infer_w, it8, 2), 3)
 
     print(json.dumps(result))
 

@@ -195,7 +195,13 @@ def relation_losses(pred_rel_logits, pred_conn_logits, targets,
         else:
             u = jax.random.uniform(key, flat_logits.shape)
             score = jnp.where(cand_mask.reshape(B, -1), u, -jnp.inf)
-        top_vals, top_idx = jax.lax.top_k(score, K)                 # [B,K]
+        if cfg.rel_sample_approx_topk:
+            # TPU-native partial reduction (~95% recall of the true
+            # top-K); which negatives are mined differs slightly from
+            # the reference's exact torch.topk — opt-in only
+            top_vals, top_idx = jax.lax.approx_max_k(score, K)      # [B,K]
+        else:
+            top_vals, top_idx = jax.lax.top_k(score, K)             # [B,K]
         sel_logits = jnp.take_along_axis(flat_logits, top_idx, axis=1)
         rank_ok = (jnp.arange(K)[None] < k_eff[:, None]) & jnp.isfinite(top_vals)
         # BCE with target 0 == softplus(logit)

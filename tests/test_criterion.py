@@ -298,3 +298,17 @@ def test_all_zero_gt_batch(rng):
     assert np.isfinite(float(total))
     assert float(losses["loss_rel"]) == 0.0 or np.isfinite(
         float(losses["loss_rel"]))
+
+
+def test_approx_topk_sampling(rng):
+    """rel_sample_approx_topk: losses stay finite and close to the exact
+    sampler (on CPU approx_max_k reduces to an exact top-k, so the loss
+    matches exactly; on TPU recall is ~0.95 by construction)."""
+    outputs, targets = make_batch(rng)
+    j_out = {k: jnp.array(v) for k, v in outputs.items()}
+    j_tgt = {k: jnp.array(v) for k, v in targets.items()}
+    t_exact, _ = C.sgg_criterion(j_out, j_tgt, CFG, train=True)
+    t_approx, losses = C.sgg_criterion(
+        j_out, j_tgt, CFG.replace(rel_sample_approx_topk=True), train=True)
+    assert np.isfinite(float(t_approx))
+    np.testing.assert_allclose(float(t_approx), float(t_exact), rtol=0.05)
