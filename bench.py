@@ -99,6 +99,8 @@ def _time_fps(params, x, infer, iters, warmup, pipelined=True):
 
 
 def main():
+    from egtr_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--warmup", type=int, default=3)

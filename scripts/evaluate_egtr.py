@@ -72,6 +72,8 @@ def load_artifact(path, args):
 
 
 def main():
+    from egtr_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     args = parse_args()
     import jax
     import jax.numpy as jnp

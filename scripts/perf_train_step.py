@@ -14,6 +14,8 @@ import numpy as np
 
 
 def main():
+    from egtr_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=2)
     ap.add_argument("--height", type=int, default=800)

@@ -81,6 +81,8 @@ def parse_args():
 
 
 def main():
+    from egtr_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     args = parse_args()
     import jax
 
