@@ -37,7 +37,7 @@ segmentation, runtime band selection, and the coordinate transform.
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import jax.numpy as jnp
 

@@ -24,6 +24,12 @@ jax.config.update("jax_platforms", "cpu")
 assert len(jax.devices()) == 8, (
     f"tests need 8 virtual CPU devices, got {jax.devices()}")
 
+# persistent compile cache: the suite re-jits the same CPU programs every
+# run; the cache (shared with the CLI entry points) cuts repeat runs a lot
+from egtr_tpu.utils.cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
