@@ -12,12 +12,29 @@ from __future__ import annotations
 import os
 
 
+def _host_tag() -> str:
+    """Hash of the host CPU feature flags. XLA:CPU caches AOT machine
+    code; loading an entry compiled on a host with different features
+    can SIGILL (observed warning when a container migrated), so each
+    host flavor gets its own cache directory."""
+    try:
+        import hashlib
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return hashlib.md5(line.encode()).hexdigest()[:8]
+    except Exception:
+        pass
+    return "any"
+
+
 def enable_compilation_cache(path: str | None = None) -> None:
     """Idempotently enable JAX's on-disk compilation cache."""
     import jax
 
     path = path or os.environ.get(
-        "EGTR_JAX_CACHE", os.path.expanduser("~/.cache/egtr_jax"))
+        "EGTR_JAX_CACHE",
+        os.path.expanduser(f"~/.cache/egtr_jax-{_host_tag()}"))
     try:
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
