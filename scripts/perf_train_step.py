@@ -8,9 +8,13 @@ O(inputs).
 """
 
 import argparse
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
@@ -22,7 +26,11 @@ def main():
     ap.add_argument("--width", type=int, default=1344)
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--msda-impl", default="auto")
-    ap.add_argument("--remat", type=lambda s: s != "0", default=True)
+    ap.add_argument("--window", type=int, default=0,
+                    help="banded-MSDA window (0 = exact)")
+    ap.add_argument("--approx-topk", action="store_true",
+                    help="approx_max_k hard-negative mining")
+    ap.add_argument("--remat", type=lambda s: s != "0", default=False)
     ap.add_argument("--accum", type=int, default=1)
     args = ap.parse_args()
 
@@ -37,7 +45,9 @@ def main():
     print("backend:", jax.default_backend(), flush=True)
     cfg = EgtrConfig(num_queries=200, num_labels=150, num_rel_labels=50,
                      compute_dtype="bfloat16", use_remat=args.remat,
-                     msda_impl=args.msda_impl, auxiliary_loss=True)
+                     msda_impl=args.msda_impl, msda_window=args.window,
+                     rel_sample_approx_topk=args.approx_topk,
+                     auxiliary_loss=True)
     model = EgtrModel(cfg)
 
     B, H, W = args.batch, args.height, args.width
@@ -81,7 +91,7 @@ def main():
         loss = float(metrics["total_loss"])
     dt = (time.perf_counter() - t0) / args.iters
     print(f"train step {H}x{W} B={B} accum={args.accum} remat={args.remat} "
-          f"impl={args.msda_impl}: {dt*1000:.0f} ms/step "
+          f"impl={args.msda_impl} window={args.window}: {dt*1000:.0f} ms/step "
           f"({B*args.accum/dt:.2f} img/s) loss={loss:.3f} "
           f"grad_norm={float(metrics['grad_norm']):.3f}", flush=True)
 
