@@ -341,6 +341,10 @@ def ms_deform_attn(
                          "(raster layout of the queries)")
 
     if int8:
+        if impl not in ("auto", "pallas"):
+            raise ValueError(
+                f"int8 stage-1 is a Pallas-kernel feature; impl={impl!r} "
+                "cannot honor it (drop int8 or use impl='pallas'/'auto')")
         impl = "pallas"   # interpret-mode on CPU; quantization is the point
     elif impl == "auto":
         impl = "pallas" if jax.default_backend() not in ("cpu",) else "matmul"

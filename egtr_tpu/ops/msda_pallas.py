@@ -267,11 +267,10 @@ def _bwd_rows_kernel_win(bidx_ref, ix_ref, iy_ref, aw_ref, vb_ref, g_ref,
                    dix_ref, diy_ref, daw_ref, win, w, D, P, cdt)
 
 
-def _bwd_dvtt_kernel(ix_ref, iy_ref, aw_ref, g_ref, dvtt_ref, *,
-                     h, w, D, P, cdt):
-    N = dvtt_ref.shape[2]
+def _bwd_dvtt_body(ix_ref, iy_ref, aw_ref, g_ref, N, h, w, D, P, cdt):
+    """One tile's value-gradient contribution [N, w] (N = h*D; h is the
+    band height on the windowed path — iy is band-local there)."""
     TQ = ix_ref.shape[3]
-    t = pl.program_id(2)
 
     xsub = lax.broadcasted_iota(jnp.int32, (w, TQ), 0).astype(jnp.float32)
     ysub = (lax.broadcasted_iota(jnp.int32, (N, TQ), 0) // D).astype(
@@ -292,6 +291,14 @@ def _bwd_dvtt_kernel(ix_ref, iy_ref, aw_ref, g_ref, dvtt_ref, *,
         dvtt = dvtt + lax.dot_general(
             dT.astype(cdt), hxT.astype(cdt), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)            # [N, w]
+    return dvtt
+
+
+def _bwd_dvtt_kernel(ix_ref, iy_ref, aw_ref, g_ref, dvtt_ref, *,
+                     h, w, D, P, cdt):
+    N = dvtt_ref.shape[2]
+    t = pl.program_id(2)
+    dvtt = _bwd_dvtt_body(ix_ref, iy_ref, aw_ref, g_ref, N, h, w, D, P, cdt)
 
     @pl.when(t == 0)
     def _():
@@ -313,26 +320,8 @@ def _bwd_dvtt_kernel_win(bidx_ref, perm_ref, first_ref,
     del bidx_ref
     b, hh, t = pl.program_id(0), pl.program_id(1), pl.program_id(2)
     N = dvb_ref.shape[3]
-    TQ = ix_ref.shape[3]
-
-    xsub = lax.broadcasted_iota(jnp.int32, (w, TQ), 0).astype(jnp.float32)
-    ysub = (lax.broadcasted_iota(jnp.int32, (N, TQ), 0) // D).astype(
-        jnp.float32)
-
-    g = g_ref[0, 0].astype(jnp.float32)                    # [D, TQ]
-    g_tile = jnp.broadcast_to(g[None], (win, D, TQ)).reshape(N, TQ)
-
-    dvtt = jnp.zeros((N, w), jnp.float32)
-    for p in range(P):
-        ixp = ix_ref[0, 0, p, :][None, :]
-        iyp = iy_ref[0, 0, p, :][None, :]
-        awp = aw_ref[0, 0, p, :][None, :]
-        hxT = jnp.maximum(0.0, 1.0 - jnp.abs(ixp - xsub))
-        hy = jnp.maximum(0.0, 1.0 - jnp.abs(iyp - ysub))
-        dT = hy * awp * g_tile                             # [N, TQ] f32
-        dvtt = dvtt + lax.dot_general(
-            dT.astype(cdt), hxT.astype(cdt), (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)            # [N, w]
+    dvtt = _bwd_dvtt_body(ix_ref, iy_ref, aw_ref, g_ref, N, win, w, D, P,
+                          cdt)
 
     first = first_ref[b, hh, t] != 0
 

@@ -32,9 +32,12 @@ def enable_compilation_cache(path: str | None = None) -> None:
     """Idempotently enable JAX's on-disk compilation cache."""
     import jax
 
-    path = path or os.environ.get(
-        "EGTR_JAX_CACHE",
-        os.path.expanduser(f"~/.cache/egtr_jax-{_host_tag()}"))
+    if path is None:
+        # the SIGILL hazard is XLA:CPU-only; accelerator executables stay
+        # valid across container migrations, so share one cache for them
+        tag = _host_tag() if jax.default_backend() == "cpu" else "accel"
+        path = os.environ.get(
+            "EGTR_JAX_CACHE", os.path.expanduser(f"~/.cache/egtr_jax-{tag}"))
     try:
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)

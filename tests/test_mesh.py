@@ -4,6 +4,7 @@ from types import SimpleNamespace
 
 import jax
 import numpy as np
+import pytest
 
 from egtr_tpu.parallel.mesh import (DATA_AXIS, MODEL_AXIS,
                                     _mesh_device_order, make_mesh)
@@ -33,11 +34,8 @@ def test_multislice_order_is_slice_major():
 
 def test_multislice_rejects_model_groups_crossing_dcn():
     devs = [_fake(i, i // 3) for i in range(6)]   # 3 devices per slice
-    try:
+    with pytest.raises(AssertionError, match="model axis"):
         _mesh_device_order(devs, 2)               # 2 does not divide 3
-        raise AssertionError("expected assertion")
-    except AssertionError as e:
-        assert "model axis" in str(e)
 
 
 def test_make_mesh_axes_on_cpu():

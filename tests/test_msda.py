@@ -413,3 +413,25 @@ def test_msda_numeric_grad_vs_torch(rng, impl):
     # location grads: grid_sample zero-pads -> gradient dies exactly at border
     # pixels; both implementations agree on interior points.
     np.testing.assert_allclose(np.asarray(gl_), tl.grad.numpy(), atol=1e-3)
+
+
+def test_msda_windowed_banded_bwd_multitile(rng):
+    # Multiple query tiles mapping to multiple bands: exercises the
+    # band-sorted accumulation (argsort perm + first-flag init) of the
+    # banded value-grad kernel, which single-tile tests never reach.
+    shapes = ((80, 16),)                      # Q = 1280 -> 3 tiles (TQ=512)
+    value, loc, aw = make_raster_inputs(rng, shapes, max_offset_px=1.5)
+
+    def f(impl):
+        def g(v, l, a):
+            out = ms_deform_attn(v, shapes, l, a, impl=impl, window=8,
+                                 query_segments=shapes)
+            return (out * jnp.arange(out.size).reshape(out.shape)).sum()
+        return jax.grad(g, argnums=(0, 1, 2))(
+            jnp.array(value), jnp.array(loc), jnp.array(aw))
+
+    gp = f("pallas")
+    gm = f("matmul")
+    for a, b in zip(gp, gm):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-3, rtol=1e-3)
