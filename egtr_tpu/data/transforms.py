@@ -184,10 +184,16 @@ def preprocess(
 
 
 def default_buckets(max_size: int = 1333) -> Tuple[Tuple[int, int], ...]:
-    """Buckets covering the DETR resize range with modest padding waste."""
+    """Buckets covering the DETR resize range with modest padding waste.
+
+    The square max-size bucket is the safety net for batches mixing
+    portrait and landscape images (their joint (max_h, max_w) bound is
+    square-ish); resize caps the longest side at max_size, so it
+    contains every in-protocol sample."""
     if max_size <= 1000:  # FPS protocol: 600/1000
-        return ((608, 1008), (1008, 608), (768, 768))
-    return ((800, 1344), (1344, 800), (1024, 1024), (768, 1344), (1344, 768))
+        return ((608, 1008), (1008, 608), (768, 768), (1008, 1008))
+    return ((800, 1344), (1344, 800), (1024, 1024), (768, 1344),
+            (1344, 768), (1344, 1344))
 
 
 def pick_bucket(h: int, w: int,
@@ -195,9 +201,12 @@ def pick_bucket(h: int, w: int,
     """Smallest-area bucket that contains (h, w)."""
     fitting = [(bh * bw, (bh, bw)) for bh, bw in buckets if bh >= h and bw >= w]
     if not fitting:
-        # fall back to the max bucket (callers should size buckets so this
-        # never triggers for in-protocol inputs)
-        return max(buckets, key=lambda b: b[0] * b[1])
+        # silently returning a non-containing bucket would turn into a
+        # collate assert (or worse, cropped content) downstream
+        raise ValueError(
+            f"no bucket contains a {h}x{w} sample; buckets={tuple(buckets)} "
+            "must include a square max-size bucket for mixed-orientation "
+            "batches")
     return min(fitting)[1]
 
 

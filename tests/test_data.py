@@ -191,3 +191,15 @@ def test_loader_worker_error_propagates(vg_dir):
     import pytest
     with pytest.raises(RuntimeError, match="decode failed"):
         list(loader)
+
+
+def test_mixed_orientation_batch_buckets():
+    """A batch mixing portrait and landscape resized images must land in
+    the square safety-net bucket instead of tripping the collate bound
+    (found by a loader throughput run over random-orientation images)."""
+    b = T.default_buckets(1333)
+    assert T.pick_bucket(1063, 1066, b) == (1344, 1344)
+    assert T.pick_bucket(608, 1008, T.default_buckets(1000)) == (608, 1008)
+    assert T.pick_bucket(1008, 700, T.default_buckets(1000)) == (1008, 1008)
+    with pytest.raises(ValueError, match="no bucket contains"):
+        T.pick_bucket(2000, 100, b)
