@@ -59,7 +59,14 @@ def make_train_step(model, cfg: EgtrConfig, tx,
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
     @jax.jit
-    def train_step(state: TrainState, batch, rng):
+    def train_step(state: TrainState, batch, rng, lr_scale=1.0):
+        """``lr_scale`` is a TRACED scalar multiplying the optimizer
+        updates — AdamW updates (incl. the decoupled weight decay) are
+        linear in the learning rate, so scaling them equals scaling
+        every param group's lr. The two-phase trainer's finetune phase
+        (all LRs x0.1, train_egtr.py:790-870) passes 0.1 here and
+        reuses the main phase's compiled program instead of recompiling
+        with new lr constants."""
         if accum_steps == 1:
             (total, losses), grads = grad_fn(
                 state.params, batch["pixel_values"], batch["pixel_mask"],
@@ -88,6 +95,7 @@ def make_train_step(model, cfg: EgtrConfig, tx,
             grads = jax.tree.map(lambda g: g / accum_steps, grads)
 
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        updates = jax.tree.map(lambda u: u * lr_scale, updates)
         params = optax.apply_updates(state.params, updates)
         metrics = dict(losses)
         metrics["total_loss"] = total

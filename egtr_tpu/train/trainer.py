@@ -58,7 +58,7 @@ def fit(model, cfg: EgtrConfig, *, train_loader, val_loader, log_dir: str,
         lr_initialized: Optional[float] = 2e-4, weight_decay: float = 1e-4,
         grad_clip: float = 0.1, max_epochs: int = 50, patience: int = 15,
         accum_steps: int = 1, init_params=None, mesh=None, seed: int = 42,
-        log_every: int = 50) -> TrainState:
+        log_every: int = 50, lr_scale: float = 1.0) -> TrainState:
     """Run one training phase; returns the final state (best ckpt on disk)."""
     logger = MetricLogger(log_dir)
     tx = make_optimizer(lr, lr_backbone, lr_initialized, weight_decay,
@@ -103,7 +103,7 @@ def fit(model, cfg: EgtrConfig, *, train_loader, val_loader, log_dir: str,
             if mesh is not None:
                 batch = shard_batch(batch, mesh)
             rng, step_key = jax.random.split(rng)
-            state, metrics = train_step(state, batch, step_key)
+            state, metrics = train_step(state, batch, step_key, lr_scale)
             n_steps += 1
             if n_steps % log_every == 0:
                 logger.log({"phase": "train", "epoch": epoch,
@@ -169,10 +169,10 @@ def two_phase_fit(model, cfg: EgtrConfig, *, log_dir: str,
         state = payload["state"]
         print(f"[trainer] finetune from best main epoch {best}")
 
-    lr_init_ft = (lr_initialized * finetune_scale
-                  if lr_initialized is not None else None)
+    # same base LRs + traced lr_scale -> the finetune phase reuses the
+    # main phase's compiled train step (updates are linear in lr)
     state = fit(model, cfg, log_dir=os.path.join(log_dir, "finetune"),
-                lr=lr * finetune_scale, lr_backbone=lr_backbone * finetune_scale,
-                lr_initialized=lr_init_ft, max_epochs=max_epochs_finetune,
-                init_params=state.params, **kw)
+                lr=lr, lr_backbone=lr_backbone,
+                lr_initialized=lr_initialized, max_epochs=max_epochs_finetune,
+                init_params=state.params, lr_scale=finetune_scale, **kw)
     return state

@@ -175,3 +175,31 @@ def test_sharded_train_step_matches_single_device():
                                float(m_mesh["total_loss"]), rtol=1e-4)
     np.testing.assert_allclose(float(m_single["grad_norm"]),
                                float(m_mesh["grad_norm"]), rtol=1e-3)
+
+
+def test_lr_scale_equals_scaled_lrs():
+    """The traced lr_scale applied to updates == building the optimizer
+    with all LRs scaled (AdamW updates are linear in lr; this is what
+    lets the finetune phase reuse the main phase's compiled step)."""
+    import optax
+    from egtr_tpu.train.optim import make_optimizer
+
+    params = {"backbone_x": {"kernel": jnp.ones((4, 4)) * 0.3},
+              "proj_q_0": {"kernel": jnp.ones((4, 4)) * 0.1},
+              "rel_dist": jnp.ones((4,))}
+    tx1 = make_optimizer(2e-6, 2e-7, 2e-4)
+    tx2 = make_optimizer(2e-7, 2e-8, 2e-5)
+    s1, s2 = tx1.init(params), tx2.init(params)
+    rng = np.random.default_rng(0)
+    for it in range(3):
+        grads = jax.tree.map(
+            lambda p: jnp.asarray(rng.standard_normal(p.shape), p.dtype),
+            params)
+        u1, s1 = tx1.update(grads, s1, params)
+        u2, s2 = tx2.update(grads, s2, params)
+        u1s = jax.tree.map(lambda u: u * 0.1, u1)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-12),
+            u1s, u2)
+        params = optax.apply_updates(params, u2)
