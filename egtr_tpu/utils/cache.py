@@ -1,10 +1,14 @@
 """Persistent XLA compilation cache.
 
-Full-resolution train-step compiles cost 2-4 minutes on the axon-tunneled
-TPU (and the cache works through the remote backend: a 95 s cold compile
-restarts in 27 s warm, measured). Every CLI entry point calls
-:func:`enable_compilation_cache` before building models; tests share the
-same cache on the CPU backend.
+Every CLI entry point calls :func:`enable_compilation_cache` before
+building models; tests share a per-host cache on the CPU backend.
+
+Measured reach on the axon-tunneled TPU: plain XLA programs cache well
+(95 s cold -> 27 s warm restart), but programs containing Pallas/Mosaic
+custom calls do NOT currently round-trip through the persistent cache
+(a trivial MSDA kernel recompiles in 112-169 s every process) — the
+full-model compile cost on this tunnel is dominated by those kernels,
+so treat per-process compiles of the model as unavoidable there.
 """
 
 from __future__ import annotations

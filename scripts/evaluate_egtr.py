@@ -41,6 +41,10 @@ def parse_args():
     p.add_argument("--batch_size", type=int, default=1)
     p.add_argument("--max_images", type=int, default=None)
     p.add_argument("--compute_dtype", default="bfloat16")
+    # inference-speed knobs (weight-free; override the artifact's config)
+    p.add_argument("--msda_window", type=int, default=None,
+                   help="banded MSDA window for this eval run (0 = exact)")
+    p.add_argument("--msda_int8", type=str2bool, default=None)
     return p.parse_args()
 
 
@@ -85,6 +89,10 @@ def main():
     from egtr_tpu.models.egtr import EgtrModel
 
     cfg, params = load_artifact(args.artifact_path, args)
+    if args.msda_window is not None:
+        cfg = cfg.replace(msda_window=args.msda_window)
+    if args.msda_int8 is not None:
+        cfg = cfg.replace(msda_int8=args.msda_int8)
     model = EgtrModel(cfg)
 
     if args.dataset == "visual_genome":
