@@ -19,12 +19,15 @@ is pinned (largest bucket by default).
 
 from __future__ import annotations
 
+import dataclasses
 import queue
 import threading
+import warnings
 from concurrent.futures import ThreadPoolExecutor
 from typing import Iterator, Optional, Sequence, Tuple
 
 import numpy as np
+from PIL import Image
 
 from .transforms import collate, default_buckets, pick_bucket
 
@@ -37,9 +40,10 @@ class Loader:
                  prefetch: int = 2, num_workers: int = 4,
                  process_index: int = 0, process_count: int = 1,
                  fixed_bucket: Optional[Tuple[int, int]] = None):
-        assert batch_size % max(process_count, 1) == 0, (
-            f"batch_size {batch_size} must divide evenly over "
-            f"{process_count} processes")
+        if batch_size % max(process_count, 1) != 0:
+            raise ValueError(
+                f"batch_size {batch_size} must divide evenly over "
+                f"{process_count} processes")
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -66,6 +70,32 @@ class Loader:
                 fixed_bucket = max(self.buckets, key=lambda b: b[0] * b[1])
         self.fixed_bucket = fixed_bucket
         self._epoch = 0
+        self._clamped = 0  # samples downscaled to fit an agreed bucket
+        # Fail fast on a bucket list that cannot cover the dataset's resize
+        # protocol: shortest-side resize bounds each dim by max_size, and a
+        # batch mixing portrait+landscape needs a bucket containing the
+        # joint (max_h, max_w) — up to (max_size, max_size). A list without
+        # one only fails at batch time, potentially hours into training.
+        ms = getattr(dataset, "max_size", None)
+        if buckets and ms and fixed_bucket is None and not any(
+                bh >= ms and bw >= ms for bh, bw in self.buckets):
+            warnings.warn(
+                f"bucket list {self.buckets} has no square >=({ms},{ms}) "
+                "safety bucket: a batch mixing portrait and landscape "
+                "images will raise at collate time. Add a square max-size "
+                "bucket unless the dataset's orientations are homogeneous.",
+                stacklevel=2)
+
+    @property
+    def init_shape(self) -> Tuple[int, int]:
+        """(H, W) bound for ``model.init`` — derived from the bucket set so
+        callers never have to consume the iterator for a shape probe
+        (consuming advanced ``_epoch`` and burned a prefetch window of
+        decoded batches; epoch-0 shuffle order then depended on whether
+        init_params was passed)."""
+        if self.fixed_bucket is not None:
+            return self.fixed_bucket
+        return max(self.buckets, key=lambda b: b[0] * b[1])
 
     def __len__(self):
         n = len(self.dataset)
@@ -73,17 +103,45 @@ class Loader:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
+    def _fit_to_bucket(self, s, bucket):
+        """Downscale a decoded sample that exceeds an already-agreed bucket.
+
+        Only reachable when dataset metadata disagrees with the decoded
+        image (VG's image_data width/height is wrong for a handful of
+        images): the multi-host bucket was derived from metadata before
+        decode, other hosts already committed to it, so the only safe move
+        is to shrink this sample to fit. Boxes are stored normalized, so a
+        pure rescale leaves them exact; only ``size`` shifts."""
+        h, w = s.image.shape[:2]
+        H, W = bucket
+        if h <= H and w <= W:
+            return s
+        scale = min(H / h, W / w)
+        nh, nw = max(int(h * scale), 1), max(int(w * scale), 1)
+        img = np.stack([
+            np.asarray(Image.fromarray(s.image[:, :, c], mode="F")
+                       .resize((nw, nh), Image.BILINEAR))
+            for c in range(s.image.shape[2])], axis=-1)
+        self._clamped += 1
+        warnings.warn(
+            f"sample {s.image_id}: decoded size {h}x{w} exceeds the "
+            f"metadata-derived bucket {H}x{W}; downscaled to {nh}x{nw} "
+            "(dataset metadata disagrees with the decoded image)")
+        return dataclasses.replace(s, image=img, size=(nh, nw))
+
     def _make_batch(self, batch_idxs):
         global_idxs, idxs = batch_idxs
         samples = [self.dataset[i] for i in idxs]
         if self.fixed_bucket is not None:
             bucket = self.fixed_bucket
+            samples = [self._fit_to_bucket(s, bucket) for s in samples]
         elif self.process_count > 1:
             # per-batch bucket agreed across hosts: derived from the
             # GLOBAL batch's metadata size bounds, identical everywhere
             sizes = [self.dataset.nominal_size(i) for i in global_idxs]
             bucket = pick_bucket(max(h for h, _ in sizes),
                                  max(w for _, w in sizes), self.buckets)
+            samples = [self._fit_to_bucket(s, bucket) for s in samples]
         else:
             # one bucket for the whole batch: the max over samples
             hs = max(s.image.shape[0] for s in samples)

@@ -46,10 +46,15 @@ def _mesh_device_order(devices, mp: int):
             per_slice.setdefault(getattr(d, "slice_index", 0) or 0,
                                  []).append(d)
         sizes = {len(v) for v in per_slice.values()}
-        assert len(sizes) == 1, f"uneven slices: {per_slice.keys()}"
-        assert sizes.pop() % mp == 0, (
-            f"model axis ({mp}) must divide the per-slice device count "
-            f"so model groups never cross DCN")
+        # ValueError, not assert: these depend on user topology input and
+        # must survive python -O — a silently mis-ordered mesh puts model
+        # groups across DCN, the exact layout this function prevents
+        if len(sizes) != 1:
+            raise ValueError(f"uneven slices: {dict((k, len(v)) for k, v in per_slice.items())}")
+        if sizes.pop() % mp != 0:
+            raise ValueError(
+                f"model axis ({mp}) must divide the per-slice device count "
+                f"so model groups never cross DCN")
     return devices
 
 
@@ -60,7 +65,8 @@ def make_mesh(dp: Optional[int] = None, mp: int = 1,
     n = len(devices)
     if dp is None:
         dp = n // mp
-    assert dp * mp == n, f"dp({dp}) * mp({mp}) != #devices({n})"
+    if dp * mp != n:
+        raise ValueError(f"dp({dp}) * mp({mp}) != #devices({n})")
     arr = np.asarray(devices).reshape(dp, mp)
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
 

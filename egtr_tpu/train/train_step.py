@@ -107,13 +107,24 @@ def make_train_step(model, cfg: EgtrConfig, tx,
 
 def _scan_accum(micro, zero, mbs, accum_steps):
     """Python-unrolled accumulation (microbatch count is small and static;
-    unrolling avoids carrying the loss pytree through scan)."""
+    unrolling avoids carrying the loss pytree through scan).
+
+    Metrics are averaged over microbatches, not last-wins: with accum=A the
+    logged losses describe the full global batch, matching what the
+    reference's Lightning loop logs for an accumulated step."""
     acc = zero
-    total = None
-    losses = None
+    total_sum = None
+    losses_sum = None
     for a in range(accum_steps):
         mb = jax.tree.map(lambda x: x[a], mbs)
         (acc, (total, losses)), _ = micro((acc, None), mb)
+        if total_sum is None:
+            total_sum, losses_sum = total, losses
+        else:
+            total_sum = total_sum + total
+            losses_sum = jax.tree.map(jnp.add, losses_sum, losses)
+    total = total_sum / accum_steps
+    losses = jax.tree.map(lambda x: x / accum_steps, losses_sum)
     return (acc, (total, losses)), None
 
 

@@ -71,10 +71,14 @@ def fit(model, cfg: EgtrConfig, *, train_loader, val_loader, log_dir: str,
 
     rng = jax.random.PRNGKey(seed)
     if init_params is None:
-        batch0 = next(iter(train_loader))
+        # shape-only init from the loader's bucket bound: consuming
+        # next(iter(loader)) here advanced the loader's epoch counter and
+        # threw away a prefetch window of decoded batches, making epoch-0
+        # order depend on whether init_params was passed
         rng, init_key = jax.random.split(rng)
+        h, w = train_loader.init_shape
         init_params = model.init(
-            init_key, jax.numpy.asarray(batch0["pixel_values"][:1]))
+            init_key, jax.numpy.zeros((1, h, w, 3), jax.numpy.float32))
     state = create_state(init_params, tx)
 
     # checkpoint payload = train state + loop state, so a relaunch restores
@@ -168,6 +172,13 @@ def two_phase_fit(model, cfg: EgtrConfig, *, log_dir: str,
             _payload(state, float("inf"), 0, jax.random.PRNGKey(0)), best)
         state = payload["state"]
         print(f"[trainer] finetune from best main epoch {best}")
+    else:
+        import warnings
+
+        warnings.warn(
+            "two_phase_fit: no best main-phase checkpoint found (metrics "
+            "missing from the checkpoint manager?); finetuning from the "
+            "LAST main-phase state instead of the best one")
 
     # same base LRs + traced lr_scale -> the finetune phase reuses the
     # main phase's compiled train step (updates are linear in lr)

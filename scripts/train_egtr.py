@@ -150,9 +150,9 @@ def main():
 
     model = EgtrModel(cfg)
     rng = jax.random.PRNGKey(args.seed)
-    first = next(iter(train_loader))
+    init_h, init_w = train_loader.init_shape
     init_params = jax.jit(model.init)(
-        rng, jax.numpy.asarray(first["pixel_values"][:1]))
+        rng, jax.numpy.zeros((1, init_h, init_w, 3), jax.numpy.float32))
 
     # frequency-bias buffers from train statistics (egtr.py:169-194)
     rel_dist, triplet_dist = compute_freq_dists(

@@ -34,7 +34,7 @@ def test_multislice_order_is_slice_major():
 
 def test_multislice_rejects_model_groups_crossing_dcn():
     devs = [_fake(i, i // 3) for i in range(6)]   # 3 devices per slice
-    with pytest.raises(AssertionError, match="model axis"):
+    with pytest.raises(ValueError, match="model axis"):
         _mesh_device_order(devs, 2)               # 2 does not divide 3
 
 

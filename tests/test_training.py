@@ -145,6 +145,39 @@ def test_grad_accumulation_matches_single_batch():
         np.testing.assert_allclose(g1 / scale, g2 / scale, atol=1e-4)
 
 
+def test_grad_accum_metrics_are_batch_mean():
+    """Logged metrics under accum=A must be the mean over microbatches, not
+    the last microbatch's values (VERDICT r2 weak #1 / next #6)."""
+    cfg = TINY.replace(dropout=0.0)
+    model = EgtrModel(cfg)
+    mb_a = make_batch(B=2, seed=0)
+    mb_b = make_batch(B=2, seed=7)
+    batch = jax.tree.map(lambda x, y: np.concatenate([x, y], axis=0),
+                         mb_a, mb_b)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.asarray(batch["pixel_values"][:1]))
+    import optax
+
+    tx = optax.sgd(learning_rate=1.0)
+    state = create_state(params, tx)
+
+    step1 = make_train_step(model, cfg, tx, accum_steps=1)
+    step2 = make_train_step(model, cfg, tx, accum_steps=2)
+    key = jax.random.PRNGKey(1)
+    _, m2 = step2(state, batch, key)
+    # replicate the per-microbatch rng the accum path hands each slice
+    k0, k1 = jax.random.split(key, 2)
+    _, ma = step1(state, mb_a, k0)
+    _, mb = step1(state, mb_b, k1)
+    la, lb = float(ma["total_loss"]), float(mb["total_loss"])
+    assert abs(la - lb) > 1e-6  # microbatches genuinely differ
+    np.testing.assert_allclose(float(m2["total_loss"]), (la + lb) / 2,
+                               rtol=1e-5)
+    for k in ("loss_ce", "loss_bbox", "loss_rel"):
+        np.testing.assert_allclose(
+            float(m2[k]), (float(ma[k]) + float(mb[k])) / 2, rtol=1e-5)
+
+
 def test_sharded_train_step_matches_single_device():
     cfg = TINY.replace(dropout=0.0)
     model = EgtrModel(cfg)
