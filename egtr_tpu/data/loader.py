@@ -130,7 +130,7 @@ class Loader:
         return dataclasses.replace(s, image=img, size=(nh, nw))
 
     def _make_batch(self, batch_idxs):
-        global_idxs, idxs = batch_idxs
+        global_idxs, idxs, valid = batch_idxs
         samples = [self.dataset[i] for i in idxs]
         if self.fixed_bucket is not None:
             bucket = self.fixed_bucket
@@ -147,11 +147,21 @@ class Loader:
             hs = max(s.image.shape[0] for s in samples)
             ws = max(s.image.shape[1] for s in samples)
             bucket = pick_bucket(hs, ws, self.buckets)
-        return collate(samples, bucket, self.max_gt, self.num_rel_labels)
+        batch = collate(samples, bucket, self.max_gt, self.num_rel_labels)
+        batch["valid"] = valid
+        return batch
 
     def _index_batches(self):
-        """Yields (global_idxs, host_idxs); every host sees the identical
-        global stream and takes its contiguous slice."""
+        """Yields (global_idxs, host_idxs, host_valid); every host sees the
+        identical global stream and takes its contiguous slice.
+
+        A trailing partial global batch cannot be split unevenly over
+        hosts: with ``drop_last`` it is dropped; otherwise (multi-host
+        eval) it is PADDED by repeating the last index so every loaded
+        image is still evaluated exactly once — the pad rows carry
+        ``valid=False`` and evaluators skip them. (The reference's
+        DistributedSampler pads by wrap-around, then evaluates duplicates;
+        we keep the padding but mark it.)"""
         order = np.arange(len(self.dataset))
         if self.shuffle:
             rng = np.random.default_rng(self.seed + self._epoch)
@@ -159,13 +169,22 @@ class Loader:
         per_host = self.batch_size // self.process_count
         for i in range(0, len(order), self.batch_size):
             idxs = order[i:i + self.batch_size]
-            if len(idxs) < self.batch_size and (
-                    self.drop_last or self.process_count > 1):
-                # a partial global batch cannot be split evenly over hosts
-                return
+            valid = np.ones(self.batch_size, bool)
+            if len(idxs) < self.batch_size:
+                if self.drop_last:
+                    return
+                if self.process_count > 1:
+                    valid[len(idxs):] = False
+                    idxs = np.concatenate(
+                        [idxs, np.repeat(idxs[-1:],
+                                         self.batch_size - len(idxs))])
+                else:
+                    valid = valid[:len(idxs)]
             lo = self.process_index * per_host
-            yield idxs, (idxs[lo:lo + per_host]
-                         if self.process_count > 1 else idxs)
+            if self.process_count > 1:
+                yield idxs, idxs[lo:lo + per_host], valid[lo:lo + per_host]
+            else:
+                yield idxs, idxs, valid
 
     def __iter__(self) -> Iterator[dict]:
         self._epoch += 1

@@ -86,6 +86,10 @@ def evaluate_sgg(model, cfg, params, loader, rel_categories: Sequence[str], *,
         post = {k: np.asarray(v) for k, v in post.items()}
         B = batch["pixel_values"].shape[0]
         for j in range(B):
+            # pad rows of a trailing partial multi-host batch (valid=False)
+            # are duplicates — skip so each image is counted exactly once
+            if "valid" in batch and not batch["valid"][j]:
+                continue
             n_gt = int(batch["labels"]["num_boxes"][j])
             orig_hw = batch["orig_size"][j]
             gt_boxes_abs = rescale_boxes_np(
@@ -227,6 +231,8 @@ def evaluate_detection(model, cfg, params, loader, *,
         det = {k: np.asarray(v) for k, v in det.items()}
         B = batch["pixel_values"].shape[0]
         for j in range(B):
+            if "valid" in batch and not batch["valid"][j]:
+                continue
             n_gt = int(batch["labels"]["num_boxes"][j])
             orig_hw = batch["orig_size"][j]
             h0, w0 = float(orig_hw[0]), float(orig_hw[1])
@@ -246,7 +252,12 @@ def evaluate_detection(model, cfg, params, loader, *,
 def write_metrics(metrics: Dict[str, float], path: str,
                   extra: Optional[dict] = None) -> None:
     """Dump the metrics JSON the reference writes next to the checkpoint
-    (train_egtr.py:928-935)."""
+    (train_egtr.py:928-935). Process 0 only — post-merge metrics are
+    identical on every host."""
+    import jax
+
+    if jax.process_index() != 0:
+        return
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     with open(path, "w") as f:
         json.dump({**metrics, **(extra or {})}, f, indent=2, default=float)

@@ -81,9 +81,35 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Device-put a host batch dict with the batch axis over ``data``."""
+    """Device-put a host batch dict with the batch axis over ``data``.
+
+    Multi-process: each host's loader holds only its contiguous
+    ``batch/process_count`` slice (the DistributedSampler contract,
+    reference train_egtr.py:624-640). The slices are ASSEMBLED into one
+    global array via ``jax.make_array_from_process_local_data`` — a plain
+    ``device_put`` here would reinterpret the host-local slice as the
+    whole global array, silently shrinking the effective batch to
+    ``global/process_count`` and dropping the rest of the loaded data.
+    """
     sh = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                sh, np.ascontiguousarray(x)), batch)
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+
+def replicate_state(tree, mesh: Mesh):
+    """Turn host-local (identical-per-process) arrays into fully-replicated
+    GLOBAL arrays over ``mesh``. Required before feeding params/opt_state
+    to a jit program spanning multiple processes; a no-op single-process
+    (jit replicates automatically there)."""
+    if jax.process_count() == 1:
+        return tree
+    from jax.experimental import multihost_utils
+
+    return multihost_utils.host_local_array_to_global_array(
+        jax.tree.map(np.asarray, tree), mesh, P())
 
 
 def maybe_constraint(x, spec: P):

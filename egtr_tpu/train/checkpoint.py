@@ -56,9 +56,12 @@ class CheckpointManager:
 
 def save_pretrained(directory: str, cfg: EgtrConfig, params: Any) -> None:
     """HF save_pretrained analog: config.json + params via orbax
-    (pretrain_detr.py:480-490)."""
+    (pretrain_detr.py:480-490). Every process calls this (orbax
+    coordinates the array write across hosts); the config JSON is
+    written by process 0 only."""
     os.makedirs(directory, exist_ok=True)
-    cfg.save(os.path.join(directory, "config.json"))
+    if jax.process_index() == 0:
+        cfg.save(os.path.join(directory, "config.json"))
     ckptr = ocp.StandardCheckpointer()
     path = os.path.join(os.path.abspath(directory), "params")
     ckptr.save(path, params, force=True)

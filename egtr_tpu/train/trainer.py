@@ -23,20 +23,28 @@ import jax
 import numpy as np
 
 from ..config import EgtrConfig
-from ..parallel.mesh import shard_batch
+from ..parallel.mesh import replicate_state, shard_batch
 from .checkpoint import CheckpointManager
 from .optim import make_optimizer
 from .train_step import TrainState, create_state, make_eval_step, make_train_step
 
 
 class MetricLogger:
-    """Append-only JSONL metric stream + console summary."""
+    """Append-only JSONL metric stream + console summary.
+
+    Multi-host: only process 0 writes — every process computes identical
+    metrics from the same global arrays, and concurrent appends to one
+    file on shared storage would interleave corruptly."""
 
     def __init__(self, log_dir: str):
-        os.makedirs(log_dir, exist_ok=True)
+        self.primary = jax.process_index() == 0
         self.path = os.path.join(log_dir, "metrics.jsonl")
+        if self.primary:
+            os.makedirs(log_dir, exist_ok=True)
 
     def log(self, record: Dict) -> None:
+        if not self.primary:
+            return
         rec = {k: (float(v) if hasattr(v, "item") or isinstance(
             v, (int, float, np.floating)) else v) for k, v in record.items()}
         rec["time"] = time.time()
@@ -96,9 +104,16 @@ def fit(model, cfg: EgtrConfig, *, train_loader, val_loader, log_dir: str,
         epochs_no_improve = int(payload["loop"]["epochs_no_improve"])
         rng = jax.numpy.asarray(payload["loop"]["rng"])
         start_epoch = latest
-        print(f"[trainer] resumed from epoch {latest} "
-              f"(best_val={best_val:.4f}, "
-              f"epochs_no_improve={epochs_no_improve})")
+        if jax.process_index() == 0:
+            print(f"[trainer] resumed from epoch {latest} "
+                  f"(best_val={best_val:.4f}, "
+                  f"epochs_no_improve={epochs_no_improve})")
+
+    if mesh is not None and jax.process_count() > 1:
+        # params/opt_state are identical host-local arrays on every
+        # process; a multi-process jit program needs GLOBAL (replicated)
+        # arrays — plain host-local inputs cannot feed it
+        state = TrainState(*replicate_state(tuple(state), mesh))
 
     for epoch in range(start_epoch, max_epochs):
         t0 = time.time()
@@ -129,8 +144,9 @@ def fit(model, cfg: EgtrConfig, *, train_loader, val_loader, log_dir: str,
         val_loss = val.get("validation_total_loss", float("inf"))
         logger.log({"phase": "val", "epoch": epoch, **val,
                     "epoch_seconds": time.time() - t0})
-        print(f"[trainer] epoch {epoch}: validation_loss={val_loss:.4f} "
-              f"({time.time() - t0:.0f}s, {n_steps} steps)")
+        if jax.process_index() == 0:
+            print(f"[trainer] epoch {epoch}: validation_loss={val_loss:.4f} "
+                  f"({time.time() - t0:.0f}s, {n_steps} steps)")
 
         if val_loss < best_val:
             best_val = val_loss

@@ -93,7 +93,9 @@ def main():
                           process_index=jax.process_index(),
                           process_count=jax.process_count())
     val_loader = Loader(val_ds, global_bs // args.accumulate, shuffle=False,
-                        max_gt=cfg.max_gt_boxes, num_rel_labels=num_rel)
+                        max_gt=cfg.max_gt_boxes, num_rel_labels=num_rel,
+                        process_index=jax.process_index(),
+                        process_count=jax.process_count())
 
     model = DeformableDetrBase(cfg)
     state = two_phase_fit(
@@ -120,8 +122,10 @@ def main():
         test_ds = VGDataset(args.data_path, "test", size=800, max_size=1333)
     else:
         test_ds = OIDataset(args.data_path, "test", size=800, max_size=1333)
-    test_loader = Loader(test_ds, 1, shuffle=False, max_gt=cfg.max_gt_boxes,
-                         num_rel_labels=num_rel)
+    test_loader = Loader(test_ds, jax.process_count(), shuffle=False,
+                         max_gt=cfg.max_gt_boxes, num_rel_labels=num_rel,
+                         process_index=jax.process_index(),
+                         process_count=jax.process_count())
     eval_cfg = cfg.replace(dropout=0.0)
     metrics = evaluate_detection(
         DeformableDetrBase(eval_cfg), eval_cfg, state.params, test_loader,

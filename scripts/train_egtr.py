@@ -145,8 +145,13 @@ def main():
                           num_workers=args.num_workers,
                           process_index=jax.process_index(),
                           process_count=jax.process_count())
+    # val is host-sharded like train (each host loads its slice; losses are
+    # computed on the assembled global batch) — without this every host
+    # would re-evaluate the full split, x process_count redundant work
     val_loader = Loader(val_ds, global_bs // args.accumulate, shuffle=False,
-                        max_gt=cfg.max_gt_boxes, num_rel_labels=num_rel)
+                        max_gt=cfg.max_gt_boxes, num_rel_labels=num_rel,
+                        process_index=jax.process_index(),
+                        process_count=jax.process_count())
 
     model = EgtrModel(cfg)
     rng = jax.random.PRNGKey(args.seed)
@@ -192,8 +197,11 @@ def main():
         from egtr_tpu.evaluation.oi_eval import OIEvaluator
         test_ds = OIDataset(args.data_path, "test", size=800, max_size=1333)
         oi = OIEvaluator(test_ds.rel_categories, test_ds.ind_to_classes)
-    test_loader = Loader(test_ds, 1, shuffle=False, max_gt=cfg.max_gt_boxes,
-                         num_rel_labels=num_rel)
+    # one image per host per step; evaluator state merges across hosts
+    test_loader = Loader(test_ds, jax.process_count(), shuffle=False,
+                         max_gt=cfg.max_gt_boxes, num_rel_labels=num_rel,
+                         process_index=jax.process_index(),
+                         process_count=jax.process_count())
     eval_cfg = cfg.replace(dropout=0.0)
     metrics = evaluate_sgg(EgtrModel(eval_cfg), eval_cfg, state.params,
                            test_loader, test_ds.rel_categories,
