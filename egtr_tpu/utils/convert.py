@@ -139,6 +139,21 @@ def convert_detr_state_dict(sd: Dict[str, np.ndarray],
     if "model.level_embed" in sd:
         _set(p, ("model", "level_embed"), sd["model.level_embed"])
 
+    # ---- learned 50x50 position embedding (deformable_detr.py:880-906;
+    #      lives under the torch backbone wrapper) ----
+    pe = "model.backbone.position_embedding."
+    if pe + "row_embeddings.weight" in sd:
+        _set(p, ("model", "row_embeddings"),
+             sd[pe + "row_embeddings.weight"])
+        _set(p, ("model", "column_embeddings"),
+             sd[pe + "column_embeddings.weight"])
+
+    # ---- two-stage proposal machinery (deformable_detr.py:2306-2343) ----
+    _convert_linear(sd, p, "model.enc_output", ("model", "enc_output"))
+    _convert_ln(sd, p, "model.enc_output_norm", ("model", "enc_output_norm"))
+    _convert_linear(sd, p, "model.pos_trans", ("model", "pos_trans"))
+    _convert_ln(sd, p, "model.pos_trans_norm", ("model", "pos_trans_norm"))
+
     # ---- encoder ----
     for i in range(cfg.encoder_layers):
         src = f"model.encoder.layers.{i}"
@@ -165,9 +180,11 @@ def convert_detr_state_dict(sd: Dict[str, np.ndarray],
         _convert_linear(sd, p, f"{src}.fc1", dst + ("fc1",))
         _convert_linear(sd, p, f"{src}.fc2", dst + ("fc2",))
 
-    # ---- detection heads (shared list or per-layer clones) ----
-    num_pred = cfg.decoder_layers
-    head_count = num_pred if cfg.with_box_refine else 1
+    # ---- detection heads (shared list or per-layer clones); two-stage
+    #      appends one extra head for proposal scoring
+    #      (deformable_detr.py:2426-2443) ----
+    num_pred = cfg.decoder_layers + (1 if cfg.two_stage else 0)
+    head_count = num_pred if (cfg.with_box_refine or cfg.two_stage) else 1
     for idx in range(head_count):
         _convert_linear(sd, p, f"class_embed.{idx}",
                         ("model", f"class_embed_{idx}"))
