@@ -277,15 +277,25 @@ class OIEvaluator:
     def _eval_detection(self) -> Dict[str, float]:
         cats = list(range(len(self.ind_to_classes)))
         m = CocoMAP(cats)
+
+        def widen(b):
+            # the reference converts xyxy -> faux-COCO xywh with
+            # w = x2-x1+1 (lib/evaluation/oi_eval.py:26-27,308-313), so
+            # COCOeval sees boxes extended +1 px past the max corner —
+            # for BOTH gt and detections. Match that convention exactly.
+            b = np.asarray(b, np.float64).reshape(-1, 4).copy()
+            b[:, 2:] += 1.0
+            return b
+
         for i, res in enumerate(self.results):
+            gt_w = widen(res["gt_boxes"])
             m.add_image(
                 i,
-                gt=dict(boxes=res["gt_boxes"], labels=res["gt_class"],
-                        area=((res["gt_boxes"][:, 3] - res["gt_boxes"][:, 1]
-                               + 1)
-                              * (res["gt_boxes"][:, 2] - res["gt_boxes"][:, 0]
-                                 + 1))),
-                det=dict(boxes=res["pred_boxes"], labels=res["pred_class"],
+                gt=dict(boxes=gt_w, labels=res["gt_class"],
+                        area=((gt_w[:, 3] - gt_w[:, 1])
+                              * (gt_w[:, 2] - gt_w[:, 0]))),
+                det=dict(boxes=widen(res["pred_boxes"]),
+                         labels=res["pred_class"],
                          scores=res["pred_cls_scores"]))
         stats = m.accumulate()
         return {f"bbox/{k}": v for k, v in stats.items()}

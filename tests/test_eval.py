@@ -149,6 +149,37 @@ def test_oi_evaluator_end_to_end():
     assert out["microR@50"] > 0
 
 
+def test_oi_detection_plus1_box_widening():
+    """The reference feeds faux-COCO xywh with w = x2-x1+1 for BOTH gt and
+    detections (lib/evaluation/oi_eval.py:26-27,308-313), so near-threshold
+    IoU pairs can flip match status vs clean-IoU evaluation. gt [0,0,9,10]
+    vs det [0,0,19,10]: clean IoU = 90/190 = 0.474 (< 0.5, miss) but
+    widened IoU = 100/200 = 0.500 (>= 0.5, hit) -> AP50 must be 1, not 0
+    (VERDICT r2 weak #5)."""
+    ev = OIEvaluator(rel_categories=["r0"], ind_to_classes=["c0", "c1"])
+    Q = 2
+    gt_entry = {
+        "gt_boxes": np.array([[0.0, 0.0, 9.0, 10.0]]),
+        "gt_classes": np.array([1]),
+        "gt_relations": np.array([[0, 0, 0]]),
+    }
+    pred_entry = {
+        "pred_boxes": np.array([[0.0, 0.0, 19.0, 10.0],
+                                [100.0, 100.0, 120.0, 120.0]]),
+        "pred_classes": np.array([1, 0]),
+        "obj_scores": np.array([0.9, 0.1]),
+        "sbj_obj_inds": np.array([(i, j) for i in range(Q)
+                                  for j in range(Q)]),
+        "pred_scores": np.full((Q * Q, 1), 0.5),
+    }
+    ev(gt_entry, pred_entry)
+    out = ev.aggregate_metrics()
+    # under the +1 convention the det matches exactly at the 0.5 threshold
+    assert out["bbox/AP50"] == 1.0
+    # and misses at 0.55 either way (widened IoU is exactly 0.5)
+    assert out["bbox/AP"] < 1.0
+
+
 def test_evaluator_multihost_merge():
     """Merging two hosts' evaluator states equals evaluating everything on
     one host (VERDICT item 6; reference util/misc.py:93-135 pickle gather)."""
