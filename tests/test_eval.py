@@ -1,6 +1,9 @@
 """Evaluator tests: recall semantics, COCO mAP protocol, OI pipeline."""
 
+import os
+
 import numpy as np
+import pytest
 
 from egtr_tpu.evaluation.coco_map import CocoMAP
 from egtr_tpu.evaluation.oi_eval import OIEvaluator, boxes_union, get_ap
@@ -315,3 +318,106 @@ def test_coco_golden_multi_image_score_interleave():
     s = m.accumulate()
     expected = (51 * 1.0 + 50 * (2.0 / 3.0)) / 101
     assert np.isclose(s["AP"], expected), (s["AP"], expected)
+
+
+def _random_coco_scenario(seed, n_imgs=20, n_cats=3):
+    """Adversarial randomized detection scenario: crowds, score ties,
+    duplicate boxes, area-threshold straddling, empty images/categories,
+    near-threshold IoU jitters."""
+    rng = np.random.default_rng(seed)
+    gts, dts = [], []
+    per_image = {}
+    ann_id = 1
+    det_id = 1
+    for img in range(n_imgs):
+        g_boxes, g_labels, g_crowd, g_area = [], [], [], []
+        d_boxes, d_labels, d_scores = [], [], []
+        for cat in range(n_cats):
+            if rng.random() < 0.15:
+                continue  # category absent from this image
+            n_gt = int(rng.integers(0, 5))
+            for _ in range(n_gt):
+                x, y = rng.uniform(0, 200, 2)
+                # sizes straddle the 32^2 / 96^2 area thresholds
+                w, h = rng.uniform(5, 150, 2)
+                crowd = int(rng.random() < 0.15)
+                gts.append(dict(id=ann_id, image_id=img, category_id=cat,
+                                bbox=[x, y, w, h], area=w * h,
+                                iscrowd=crowd))
+                ann_id += 1
+                g_boxes.append([x, y, x + w, y + h])
+                g_labels.append(cat)
+                g_crowd.append(crowd)
+                g_area.append(w * h)
+                # near-threshold jittered detections of this gt
+                for _ in range(int(rng.integers(0, 3))):
+                    jx, jy = rng.uniform(-0.3, 0.3, 2) * w
+                    jw = w * rng.uniform(0.6, 1.4)
+                    jh = h * rng.uniform(0.6, 1.4)
+                    score = round(float(rng.uniform(0, 1)), 1)  # ties!
+                    dts.append(dict(id=det_id, image_id=img,
+                                    category_id=cat,
+                                    bbox=[x + jx, y + jy, jw, jh],
+                                    area=jw * jh, iscrowd=0, score=score))
+                    det_id += 1
+                    d_boxes.append([x + jx, y + jy, x + jx + jw,
+                                    y + jy + jh])
+                    d_labels.append(cat)
+                    d_scores.append(score)
+            # pure false positives (some duplicated)
+            for _ in range(int(rng.integers(0, 3))):
+                x, y = rng.uniform(0, 200, 2)
+                w, h = rng.uniform(5, 150, 2)
+                score = round(float(rng.uniform(0, 1)), 1)
+                reps = 2 if rng.random() < 0.3 else 1
+                for _ in range(reps):
+                    dts.append(dict(id=det_id, image_id=img,
+                                    category_id=cat,
+                                    bbox=[x, y, w, h], area=w * h,
+                                    iscrowd=0, score=score))
+                    det_id += 1
+                    d_boxes.append([x, y, x + w, y + h])
+                    d_labels.append(cat)
+                    d_scores.append(score)
+        per_image[img] = (g_boxes, g_labels, g_crowd, g_area,
+                          d_boxes, d_labels, d_scores)
+    return gts, dts, per_image
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4])
+def test_coco_map_matches_cocoeval_transcription(seed):
+    """Pin CocoMAP to an independent literal transcription of the
+    pycocotools COCOeval algorithm (different data model and code
+    structure; tests/cocoeval_oracle.py) on randomized adversarial
+    scenarios — the strongest available pin with pycocotools
+    uninstallable here (VERDICT r2 next #3)."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    try:
+        from cocoeval_oracle import COCOevalTranscription
+    finally:
+        sys.path.pop(0)
+    from egtr_tpu.evaluation.coco_map import CocoMAP
+
+    n_cats = 3
+    gts, dts, per_image = _random_coco_scenario(seed, n_cats=n_cats)
+    oracle = COCOevalTranscription(gts, dts, sorted(per_image),
+                                   list(range(n_cats)))
+    expected = oracle.evaluate_and_summarize()
+
+    m = CocoMAP(list(range(n_cats)))
+    for img, (gb, gl, gc, ga, db, dl, ds) in sorted(per_image.items()):
+        m.add_image(img,
+                    gt=dict(boxes=np.array(gb, np.float64).reshape(-1, 4),
+                            labels=np.array(gl, np.int64),
+                            iscrowd=np.array(gc, np.int64),
+                            area=np.array(ga, np.float64)),
+                    det=dict(boxes=np.array(db, np.float64).reshape(-1, 4),
+                             labels=np.array(dl, np.int64),
+                             scores=np.array(ds, np.float64)))
+    got = m.accumulate()
+    assert set(got) == set(expected)
+    for k in expected:
+        np.testing.assert_allclose(got[k], expected[k], atol=1e-10,
+                                   err_msg=k)
