@@ -244,6 +244,35 @@ def test_msda_windowed_grads_match_fallback(rng):
                                    atol=1e-4, rtol=1e-4)
 
 
+def test_msda_windowed_bwd_fallback_branch_grads(rng):
+    """Forces the exact-on-clamped-coords backward branch (taken when the
+    banded backward's larger live set would shrink the tile below the
+    forward's: _tq_bwd(window*D) != _tq_fwd(window*D), e.g. D=128 w/
+    window=8 or the documented window=32/D=32 config) and pins its grads
+    against the matmul fallback (ADVICE r2 #3)."""
+    from egtr_tpu.ops.msda_pallas import _tq_bwd, _tq_fwd
+
+    D, window = 128, 8
+    assert _tq_bwd(window * D) != _tq_fwd(window * D), (
+        "test no longer exercises the fallback branch — pick dims where "
+        "the bwd tile is smaller than the fwd tile")
+    shapes = ((16, 16),)
+    value, shapes, loc, aw = make_inputs(
+        rng, B=1, Q=256, H=2, D=D, shapes=shapes)
+
+    def f(impl):
+        def g(v, l, a):
+            return ms_deform_attn(v, shapes, l, a, impl=impl, window=window,
+                                  query_segments=shapes).sum()
+        return jax.grad(g, argnums=(0, 1, 2))(
+            jnp.array(value), jnp.array(loc), jnp.array(aw))
+
+    gp, gm = f("pallas"), f("matmul")
+    for a, b in zip(gp, gm):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4)
+
+
 def test_msda_windowed_out_of_image_is_zero(rng):
     # samples far outside the image must contribute exactly zero (the
     # clamp must not resurrect them)
