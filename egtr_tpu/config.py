@@ -121,7 +121,13 @@ class EgtrConfig:
 
     @classmethod
     def from_json(cls, s: str) -> "EgtrConfig":
+        """Tolerant load: unknown keys are dropped, so this reads both our
+        own config.json and the reference's HF-format config.json (the
+        architecture field names match by construction). HF configs often
+        carry the label space as ``id2label`` instead of ``num_labels``."""
         d = json.loads(s)
+        if "num_labels" not in d and isinstance(d.get("id2label"), dict):
+            d["num_labels"] = len(d["id2label"])
         fields = {f.name for f in dataclasses.fields(cls)}
         return cls(**{k: v for k, v in d.items() if k in fields})
 

@@ -48,26 +48,64 @@ def parse_args():
     return p.parse_args()
 
 
+def _latest_epoch_ckpt(ckpt_dir):
+    """Reference best-checkpoint quirk: highest epoch number in the glob
+    (evaluate_egtr.py:232-240 / train_egtr.py:887-890) — NOT best metric."""
+    import glob
+    import re
+
+    best, best_epoch = None, -1
+    for f in glob.glob(os.path.join(ckpt_dir, "epoch=*.ckpt")):
+        m = re.search(r"epoch=(\d+)", os.path.basename(f))
+        if m and int(m.group(1)) > best_epoch:
+            best, best_epoch = f, int(m.group(1))
+    return best
+
+
 def load_artifact(path, args):
-    """Load config+params from an orbax artifact dir or a torch .bin/.ckpt."""
+    """Load config+params from (a) our orbax artifact dir, (b) a reference
+    artifact dir — HF config.json + checkpoints/epoch=*.ckpt (latest epoch)
+    or pytorch_model.bin — or (c) a direct torch .bin/.ckpt file path.
+    This is the released-checkpoint ingestion path
+    (/root/reference/README.md:65,91 artifacts)."""
     import numpy as np
     from egtr_tpu.config import EgtrConfig
     from egtr_tpu.train.checkpoint import load_pretrained
     from egtr_tpu.utils.convert import convert_detr_state_dict
 
-    if os.path.isdir(path) and os.path.exists(
-            os.path.join(path, "config.json")):
-        cfg, params = load_pretrained(path)
+    ckpt_file = None
+    if os.path.isdir(path):
+        if os.path.exists(os.path.join(path, "params")):
+            return _finish_cfg(*load_pretrained(path), args)
+        ckpt_file = _latest_epoch_ckpt(os.path.join(path, "checkpoints")) \
+            or _latest_epoch_ckpt(path)
+        if ckpt_file is None and os.path.exists(
+                os.path.join(path, "pytorch_model.bin")):
+            ckpt_file = os.path.join(path, "pytorch_model.bin")
+        if ckpt_file is None:
+            raise FileNotFoundError(
+                f"{path}: no orbax params/, epoch=*.ckpt or "
+                "pytorch_model.bin found")
     else:
-        # torch checkpoint file
-        import torch
-        raw = torch.load(path, map_location="cpu", weights_only=False)
-        sd = raw.get("state_dict", raw)
-        sd = {k: v.numpy() for k, v in sd.items() if hasattr(v, "numpy")}
-        cfg_path = os.path.join(os.path.dirname(path), "config.json")
-        cfg = EgtrConfig.load(cfg_path) if os.path.exists(cfg_path) \
-            else EgtrConfig(num_queries=args.num_queries)
-        params = convert_detr_state_dict(sd, cfg)
+        ckpt_file = path
+
+    import torch
+    raw = torch.load(ckpt_file, map_location="cpu", weights_only=False)
+    sd = raw.get("state_dict", raw)
+    sd = {k: v.numpy() for k, v in sd.items() if hasattr(v, "numpy")}
+    for cfg_dir in (os.path.dirname(ckpt_file),
+                    os.path.dirname(os.path.dirname(ckpt_file))):
+        cfg_path = os.path.join(cfg_dir, "config.json")
+        if os.path.exists(cfg_path):
+            cfg = EgtrConfig.load(cfg_path)
+            break
+    else:
+        cfg = EgtrConfig(num_queries=args.num_queries)
+    params = convert_detr_state_dict(sd, cfg)
+    return _finish_cfg(cfg, params, args)
+
+
+def _finish_cfg(cfg, params, args):
     cfg = cfg.replace(logit_adjustment=args.logit_adjustment,
                       logit_adj_tau=args.logit_adj_tau,
                       compute_dtype=args.compute_dtype,

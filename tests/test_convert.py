@@ -200,3 +200,70 @@ def test_lightning_prefix_stripped(rng):
     assert len(la) == len(lb)
     for x, y in zip(la, lb):
         np.testing.assert_array_equal(x, y)
+
+
+def test_reference_artifact_ingestion_dry_run(rng, tmp_path):
+    """End-to-end dry run of the released-checkpoint ingestion path: a
+    synthetic reference artifact directory (HF-format config.json with
+    id2label, Lightning checkpoints/epoch=NN-*.ckpt with model. prefix)
+    loads through scripts/evaluate_egtr.load_artifact and runs forward
+    (VERDICT r2 next #10)."""
+    import json
+    import os
+    import sys
+    import types
+
+    torch = pytest.importorskip("torch")
+
+    cfg = EgtrConfig(num_queries=12, num_labels=7, num_rel_labels=5,
+                     encoder_layers=2, decoder_layers=2, with_box_refine=True)
+    sd = build_reference_named_state_dict(cfg, rng)
+
+    art = tmp_path / "egtr__artifact"
+    (art / "checkpoints").mkdir(parents=True)
+    # HF-format config: id2label instead of num_labels, extra HF keys
+    hf_cfg = {
+        "architectures": ["DetrForSceneGraphGeneration"],
+        "id2label": {str(i): f"c{i}" for i in range(7)},
+        "d_model": cfg.d_model, "encoder_layers": cfg.encoder_layers,
+        "decoder_layers": cfg.decoder_layers,
+        "encoder_ffn_dim": cfg.encoder_ffn_dim,
+        "decoder_ffn_dim": cfg.decoder_ffn_dim,
+        "encoder_attention_heads": cfg.encoder_attention_heads,
+        "decoder_attention_heads": cfg.decoder_attention_heads,
+        "num_queries": cfg.num_queries, "with_box_refine": True,
+        "num_rel_labels": 5, "smoothing": 1e-14,
+        "model_type": "deformable_detr",
+    }
+    with open(art / "config.json", "w") as f:
+        json.dump(hf_cfg, f)
+    lightning = {"state_dict": {f"model.{k}": torch.from_numpy(np.asarray(v))
+                                for k, v in sd.items()},
+                 "epoch": 3}
+    torch.save(lightning, art / "checkpoints" /
+               "epoch=02-validation_loss=1.20.ckpt")
+    torch.save(lightning, art / "checkpoints" /
+               "epoch=03-validation_loss=1.25.ckpt")  # latest epoch wins
+
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))), "scripts"))
+    try:
+        from evaluate_egtr import _latest_epoch_ckpt, load_artifact
+    finally:
+        sys.path.pop(0)
+    assert _latest_epoch_ckpt(str(art / "checkpoints")).endswith(
+        "epoch=03-validation_loss=1.25.ckpt")
+
+    args = types.SimpleNamespace(num_queries=12, logit_adjustment=False,
+                                 logit_adj_tau=0.3, compute_dtype="float32")
+    loaded_cfg, params = load_artifact(str(art), args)
+    assert loaded_cfg.num_labels == 7          # derived from id2label
+    assert loaded_cfg.num_rel_labels == 5
+    assert loaded_cfg.with_box_refine
+
+    import jax.numpy as jnp
+    model = EgtrModel(loaded_cfg)
+    out = model.apply(params, jnp.zeros((1, 64, 64, 3), jnp.float32),
+                      deterministic=True)
+    assert np.isfinite(np.asarray(out["pred_boxes"])).all()
+    assert out["pred_rel"].shape[-1] == 5
