@@ -97,6 +97,24 @@ class Loader:
             return self.fixed_bucket
         return max(self.buckets, key=lambda b: b[0] * b[1])
 
+    def dummy_batch(self) -> dict:
+        """A zero batch with the loader's exact output structure and its
+        ``init_shape`` bucket — for warming jit caches without touching
+        the iterator. Structure must match ``_make_batch`` exactly (jit
+        keys on the pytree structure, not just array shapes)."""
+        from .transforms import Sample
+
+        s = Sample(image=np.zeros((1, 1, 3), np.float32),
+                   boxes=np.zeros((0, 4), np.float32),
+                   class_labels=np.zeros((0,), np.int32),
+                   rel=np.zeros((0, 3), np.int32),
+                   orig_size=(1, 1), size=(1, 1))
+        per_host = self.batch_size // self.process_count
+        batch = collate([s] * per_host, self.init_shape, self.max_gt,
+                        self.num_rel_labels)
+        batch["valid"] = np.ones(per_host, bool)
+        return batch
+
     def __len__(self):
         n = len(self.dataset)
         if self.drop_last:

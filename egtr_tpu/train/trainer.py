@@ -66,7 +66,8 @@ def fit(model, cfg: EgtrConfig, *, train_loader, val_loader, log_dir: str,
         lr_initialized: Optional[float] = 2e-4, weight_decay: float = 1e-4,
         grad_clip: float = 0.1, max_epochs: int = 50, patience: int = 15,
         accum_steps: int = 1, init_params=None, mesh=None, seed: int = 42,
-        log_every: int = 50, lr_scale: float = 1.0) -> TrainState:
+        log_every: int = 50, lr_scale: float = 1.0,
+        precompile: bool = False) -> TrainState:
     """Run one training phase; returns the final state (best ckpt on disk)."""
     logger = MetricLogger(log_dir)
     tx = make_optimizer(lr, lr_backbone, lr_initialized, weight_decay,
@@ -114,6 +115,32 @@ def fit(model, cfg: EgtrConfig, *, train_loader, val_loader, log_dir: str,
         # process; a multi-process jit program needs GLOBAL (replicated)
         # arrays — plain host-local inputs cannot feed it
         state = TrainState(*replicate_state(tuple(state), mesh))
+
+    if precompile and hasattr(val_loader, "dummy_batch") \
+            and jax.process_count() == 1:
+        # (single-process only: on a multi-host mesh, concurrent program
+        # launches from a side thread could interleave differently per
+        # host and deadlock the collectives)
+        # Compile the eval program CONCURRENTLY with epoch-0 training
+        # instead of serially at first validation. Startup compiles over
+        # the axon tunnel are minutes per program and the persistent
+        # cache does not cover Pallas/Mosaic custom calls (utils/cache.py)
+        # — overlapping the two programs is the available mitigation.
+        # jax tracing/compilation is thread-safe and releases the GIL
+        # during the (remote) XLA compile, so this costs the train thread
+        # almost nothing.
+        import threading
+
+        def _warm_eval():
+            try:
+                b = val_loader.dummy_batch()
+                if mesh is not None:
+                    b = shard_batch(b, mesh)
+                eval_step(state.params, b)
+            except Exception as e:  # warming must never kill training
+                print(f"[trainer] precompile warm failed: {e}")
+
+        threading.Thread(target=_warm_eval, daemon=True).start()
 
     for epoch in range(start_epoch, max_epochs):
         t0 = time.time()
@@ -172,7 +199,9 @@ def two_phase_fit(model, cfg: EgtrConfig, *, log_dir: str,
                   max_epochs: int, max_epochs_finetune: int,
                   finetune_scale: float = 0.1, **kw) -> TrainState:
     """Main phase then finetune at scaled LRs from the best main checkpoint
-    (train_egtr.py:790-870)."""
+    (train_egtr.py:790-870). The finetune phase reuses the main phase's
+    compiled programs (traced lr_scale), so precompile overlap only
+    matters once."""
     init_params = kw.pop("init_params", None)
     state = fit(model, cfg, log_dir=os.path.join(log_dir, "main"),
                 lr=lr, lr_backbone=lr_backbone,

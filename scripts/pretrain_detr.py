@@ -42,6 +42,9 @@ def parse_args():
     p.add_argument("--num_workers", type=int, default=4)
     p.add_argument("--debug", type=str2bool, default=False)
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--precompile", type=str2bool, default=True,
+                   help="compile the eval program concurrently with "
+                        "epoch-0 training (single-process only)")
     return p.parse_args()
 
 
@@ -106,7 +109,8 @@ def main():
         max_epochs=args.max_epochs,
         max_epochs_finetune=args.max_epochs_finetune,
         patience=args.patience, accum_steps=args.accumulate,
-        mesh=mesh, seed=args.seed, task="detection")
+        mesh=mesh, seed=args.seed, task="detection",
+        precompile=args.precompile)
 
     # export for train_egtr --pretrained (pretrain_detr.py:480-490);
     # wrap under the EGTR base-model scope so merge_pretrained aligns paths

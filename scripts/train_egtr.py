@@ -77,6 +77,9 @@ def parse_args():
     p.add_argument("--num_workers", type=int, default=4)
     p.add_argument("--debug", type=str2bool, default=False)
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--precompile", type=str2bool, default=True,
+                   help="compile the eval program concurrently with "
+                        "epoch-0 training (single-process only)")
     return p.parse_args()
 
 
@@ -180,7 +183,8 @@ def main():
         max_epochs=args.max_epochs,
         max_epochs_finetune=args.max_epochs_finetune,
         patience=args.patience, accum_steps=args.accumulate,
-        init_params=init_params, mesh=mesh, seed=args.seed, task="sgg")
+        init_params=init_params, mesh=mesh, seed=args.seed, task="sgg",
+        precompile=args.precompile)
 
     save_pretrained(os.path.join(args.output_path, "artifact"), cfg,
                     state.params)

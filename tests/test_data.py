@@ -271,3 +271,24 @@ def test_loader_warns_on_unsafe_bucket_list(vg_dir):
         _w.simplefilter("error")
         Loader(ds, batch_size=2, shuffle=False, max_gt=6, num_rel_labels=4,
                buckets=((144, 176), (256, 256)), prefetch=0)
+
+
+def test_dummy_batch_structure_matches_real_batch(vg_dir):
+    """dummy_batch (the precompile warm input) must match _make_batch's
+    pytree structure and dtypes exactly — jit caches key on structure, so
+    a mismatch would silently recompile instead of warming."""
+    import jax
+
+    ds = VGDataset(vg_dir, "train", size=128, max_size=256)
+    loader = Loader(ds, batch_size=2, shuffle=False, max_gt=6,
+                    num_rel_labels=4, buckets=((144, 256),), prefetch=0)
+    real = next(iter(loader))
+    dummy = loader.dummy_batch()
+    assert jax.tree_util.tree_structure(real) == \
+        jax.tree_util.tree_structure(dummy)
+    for (pa, a), (pb, b) in zip(
+            jax.tree_util.tree_flatten_with_path(real)[0],
+            jax.tree_util.tree_flatten_with_path(dummy)[0]):
+        assert pa == pb
+        assert a.shape == b.shape, (pa, a.shape, b.shape)
+        assert a.dtype == b.dtype, (pa, a.dtype, b.dtype)
