@@ -131,12 +131,21 @@ def main():
     fps = _time_fps(params, x, infer, args.iters, args.warmup)
     strict = _time_fps(params, x, infer, args.iters, 1, pipelined=False)
 
+    # device-only latency: dispatch a chain and sync once — the per-image
+    # strict number minus this is the axon-tunnel round trip (~28 ms),
+    # which a locally-attached host would not pay
+    t0 = time.perf_counter()
+    outs = [infer(params, x) for _ in range(args.iters)]
+    np.asarray(outs[-1])
+    device_ms = 1e3 * (time.perf_counter() - t0) / args.iters
+
     result = {
         "metric": "egtr_inference_fps_600x1000_b1",
         "value": round(fps, 3),
         "unit": "img/s",
         "vs_baseline": round(fps / BASELINE_FPS, 3),
         "strict_sync_fps": round(strict, 3),
+        "device_ms_per_image": round(device_ms, 2),
     }
 
     if args.batch8:

@@ -21,6 +21,47 @@ from typing import Sequence, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
+from jax import lax
+
+
+class StemConv(nn.Module):
+    """The ResNet 7x7/s2 stem conv, computed as space-to-depth(2) + a
+    4x4/s1 conv on 12 input channels.
+
+    A direct 7x7 conv over 3 input channels starves the MXU's contraction
+    dimension (K = 3 per tap); re-indexing the same MACs over 2x2
+    subpixel blocks (K = 12) runs ~3x faster on TPU (the standard MLPerf
+    ResNet formulation). The parameter keeps the reference's [7,7,3,64]
+    layout/naming, so checkpoints convert 1:1; the 8x8-padded reshape to
+    [4,4,12,64] happens in-graph and is numerically the identical sum,
+    just reordered. Falls back to the plain conv for odd spatial dims.
+    """
+
+    features: int = 64
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (7, 7, 3, self.features)).astype(x.dtype)
+        B, H, W, C = x.shape
+        if H % 2 or W % 2:
+            return lax.conv_general_dilated(
+                x, kernel, window_strides=(2, 2), padding=((3, 3), (3, 3)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        # kernel taps at 2o-3+kh; left-pad to 8x8 so taps sit at
+        # 2(o-2+a)+v with kh+1 = 2a+v — i.e. a 4x4 stride-1 conv over the
+        # space-to-depth grid with padding (2, 1)
+        k8 = jnp.pad(kernel, ((1, 0), (1, 0), (0, 0), (0, 0)))
+        k4 = (k8.reshape(4, 2, 4, 2, C, self.features)
+              .transpose(0, 2, 1, 3, 4, 5)
+              .reshape(4, 4, 4 * C, self.features))
+        xs = (x.reshape(B, H // 2, 2, W // 2, 2, C)
+              .transpose(0, 1, 3, 2, 4, 5)
+              .reshape(B, H // 2, W // 2, 4 * C))
+        return lax.conv_general_dilated(
+            xs, k4, window_strides=(1, 1), padding=((2, 1), (2, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
 class FrozenBatchNorm(nn.Module):
@@ -93,9 +134,9 @@ class ResNet50(nn.Module):
     @nn.compact
     def __call__(self, x) -> Tuple[jnp.ndarray, ...]:
         x = x.astype(self.dtype)
-        # stem: 7x7/2 conv + frozen BN + relu + 3x3/2 maxpool
-        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
-                    use_bias=False, name="conv1")(x)
+        # stem: 7x7/2 conv (space-to-depth form) + frozen BN + relu +
+        # 3x3/2 maxpool
+        x = StemConv(64, name="conv1")(x)
         x = FrozenBatchNorm(64, name="bn1")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])

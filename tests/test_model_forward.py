@@ -95,3 +95,34 @@ def test_padding_mask_changes_nothing_for_valid_region():
     a = np.asarray(out_a["pred_boxes"])
     b = np.asarray(out_b["pred_boxes"])
     np.testing.assert_allclose(a, b, atol=0.15)
+
+
+def test_stem_conv_space_to_depth_equivalence():
+    """The space-to-depth stem must equal the plain 7x7/s2 conv (same MACs,
+    reordered) — checked against lax.conv on even dims, plus the odd-dim
+    fallback path."""
+    import jax
+    from jax import lax
+    from egtr_tpu.models.backbone import StemConv
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 64, 96, 3)), jnp.float32)
+    m = StemConv(64)
+    params = m.init(jax.random.PRNGKey(0), x)
+    y = m.apply(params, x)
+    ref = lax.conv_general_dilated(
+        x, params["params"]["kernel"], window_strides=(2, 2),
+        padding=((3, 3), (3, 3)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    assert y.shape == ref.shape == (2, 32, 48, 64)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+    # odd dims take the fallback and still match
+    x_odd = x[:, :63, :95]
+    y_odd = m.apply(params, x_odd)
+    ref_odd = lax.conv_general_dilated(
+        x_odd, params["params"]["kernel"], window_strides=(2, 2),
+        padding=((3, 3), (3, 3)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    np.testing.assert_allclose(np.asarray(y_odd), np.asarray(ref_odd),
+                               atol=1e-5, rtol=1e-5)
