@@ -17,6 +17,7 @@ the module itself is agnostic.
 
 from __future__ import annotations
 
+import os
 from typing import Sequence, Tuple
 
 import flax.linen as nn
@@ -34,7 +35,10 @@ class StemConv(nn.Module):
     ResNet formulation). The parameter keeps the reference's [7,7,3,64]
     layout/naming, so checkpoints convert 1:1; the 8x8-padded reshape to
     [4,4,12,64] happens in-graph and is numerically the identical sum,
-    just reordered. Falls back to the plain conv for odd spatial dims.
+    just reordered. Falls back to the plain conv for odd spatial dims, or
+    when ``EGTR_PLAIN_STEM`` is set in the environment (A/B escape hatch:
+    the s2d form wins on the conv itself but adds an input relayout whose
+    cost is shape-dependent).
     """
 
     features: int = 64
@@ -45,7 +49,7 @@ class StemConv(nn.Module):
             "kernel", nn.initializers.lecun_normal(),
             (7, 7, 3, self.features)).astype(x.dtype)
         B, H, W, C = x.shape
-        if H % 2 or W % 2:
+        if os.environ.get("EGTR_PLAIN_STEM") or H % 2 or W % 2:
             return lax.conv_general_dilated(
                 x, kernel, window_strides=(2, 2), padding=((3, 3), (3, 3)),
                 dimension_numbers=("NHWC", "HWIO", "NHWC"))

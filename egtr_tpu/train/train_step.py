@@ -10,6 +10,7 @@ gradient psum (the DDP all-reduce analog).
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Callable, NamedTuple
 
 import jax
@@ -58,7 +59,7 @@ def make_train_step(model, cfg: EgtrConfig, tx,
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch, rng, lr_scale=1.0):
         """``lr_scale`` is a TRACED scalar multiplying the optimizer
         updates — AdamW updates (incl. the decoupled weight decay) are
@@ -66,7 +67,13 @@ def make_train_step(model, cfg: EgtrConfig, tx,
         every param group's lr. The two-phase trainer's finetune phase
         (all LRs x0.1, train_egtr.py:790-870) passes 0.1 here and
         reuses the main phase's compiled program instead of recompiling
-        with new lr constants."""
+        with new lr constants.
+
+        ``state`` is DONATED: without donation the old params+AdamW
+        moments (~0.5 GB f32 at EGTR scale) stay live next to the new
+        ones for the whole step, which is exactly the margin that OOMed
+        the full-res B=4 recipe on a 16 GB chip. Callers must rebind
+        (``state, m = train_step(state, ...)``) — all ours do."""
         if accum_steps == 1:
             (total, losses), grads = grad_fn(
                 state.params, batch["pixel_values"], batch["pixel_mask"],

@@ -131,12 +131,20 @@ def fit(model, cfg: EgtrConfig, *, train_loader, val_loader, log_dir: str,
         # almost nothing.
         import threading
 
+        # capture shapes eagerly: train_step DONATES state, so by the time
+        # the thread runs, the original param buffers may be deleted —
+        # the jit cache keys on shapes/dtypes, so zeros warm it identically
+        param_specs = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), state.params)
+
         def _warm_eval():
             try:
                 b = val_loader.dummy_batch()
                 if mesh is not None:
                     b = shard_batch(b, mesh)
-                eval_step(state.params, b)
+                zeros = jax.tree.map(
+                    lambda s: jax.numpy.zeros(s.shape, s.dtype), param_specs)
+                eval_step(zeros, b)
             except Exception as e:  # warming must never kill training
                 print(f"[trainer] precompile warm failed: {e}")
 

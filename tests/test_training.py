@@ -35,6 +35,13 @@ def make_batch(B=2, H=64, W=64, cfg=TINY, seed=0):
     }
 
 
+def fresh(params):
+    """Device copy of a params tree: train_step DONATES its state, so any
+    test that steps more than once (or reads the original params after a
+    step) needs its own copy."""
+    return jax.tree.map(lambda x: jnp.array(x), params)
+
+
 class FakeKey:
     def __init__(self, k):
         self.key = k
@@ -75,13 +82,12 @@ def test_train_step_updates_only_trainable():
     params = model.init(jax.random.PRNGKey(0),
                         jnp.asarray(batch["pixel_values"][:1]))
     tx = make_optimizer(lr=1e-3, lr_backbone=1e-4, lr_initialized=1e-3)
+    p0 = jax.tree.map(np.asarray, params["params"])  # snapshot pre-donation
     state = create_state(params, tx)
     step = make_train_step(model, cfg, tx)
     new_state, metrics = step(state, batch, jax.random.PRNGKey(1))
     assert np.isfinite(float(metrics["total_loss"]))
     assert float(metrics["grad_norm"]) > 0
-
-    p0 = params["params"]
     p1 = new_state.params["params"]
     # frozen: backbone stem unchanged
     assert np.array_equal(
@@ -123,12 +129,15 @@ def test_grad_accumulation_matches_single_batch():
     import optax
 
     tx = optax.sgd(learning_rate=1.0)
-    state = create_state(params, tx)
+    p_snap = jax.tree.map(np.asarray, params)  # pre-donation snapshot
 
     step1 = make_train_step(model, cfg, tx, accum_steps=1)
     step2 = make_train_step(model, cfg, tx, accum_steps=2)
-    s1, m1 = step1(state, batch, jax.random.PRNGKey(1))
-    s2, m2 = step2(state, batch, jax.random.PRNGKey(1))
+    s1, m1 = step1(create_state(fresh(params), tx), batch,
+                   jax.random.PRNGKey(1))
+    s2, m2 = step2(create_state(fresh(params), tx), batch,
+                   jax.random.PRNGKey(1))
+    params = p_snap
 
     assert np.isfinite(float(m1["total_loss"]))
     np.testing.assert_allclose(float(m1["grad_norm"]), float(m2["grad_norm"]),
@@ -159,16 +168,15 @@ def test_grad_accum_metrics_are_batch_mean():
     import optax
 
     tx = optax.sgd(learning_rate=1.0)
-    state = create_state(params, tx)
 
     step1 = make_train_step(model, cfg, tx, accum_steps=1)
     step2 = make_train_step(model, cfg, tx, accum_steps=2)
     key = jax.random.PRNGKey(1)
-    _, m2 = step2(state, batch, key)
+    _, m2 = step2(create_state(fresh(params), tx), batch, key)
     # replicate the per-microbatch rng the accum path hands each slice
     k0, k1 = jax.random.split(key, 2)
-    _, ma = step1(state, mb_a, k0)
-    _, mb = step1(state, mb_b, k1)
+    _, ma = step1(create_state(fresh(params), tx), mb_a, k0)
+    _, mb = step1(create_state(fresh(params), tx), mb_b, k1)
     la, lb = float(ma["total_loss"]), float(mb["total_loss"])
     assert abs(la - lb) > 1e-6  # microbatches genuinely differ
     np.testing.assert_allclose(float(m2["total_loss"]), (la + lb) / 2,
@@ -185,11 +193,12 @@ def test_sharded_train_step_matches_single_device():
     params = model.init(jax.random.PRNGKey(0),
                         jnp.asarray(batch["pixel_values"][:1]))
     tx = make_optimizer(lr=1e-3, lr_backbone=1e-4)
-    state = create_state(params, tx)
     step = make_train_step(model, cfg, tx)
 
     # single device
-    _, m_single = step(state, batch, jax.random.PRNGKey(1))
+    _, m_single = step(create_state(fresh(params), tx), batch,
+                       jax.random.PRNGKey(1))
+    state = create_state(fresh(params), tx)
 
     # 4x2 mesh
     mesh = make_mesh(dp=4, mp=2)
