@@ -87,6 +87,12 @@ class EgtrConfig:
     # recompute for activation memory; jax.checkpoint). Recommended for
     # training at full resolution.
     use_remat: bool = False
+    # Remat selectivity when use_remat is on: "full" recomputes the whole
+    # layer; "dots" saves MXU outputs (dot_general without batch dims) and
+    # the MSDA kernel output (tagged via checkpoint_name) and recomputes
+    # only the elementwise chains — near-noremat speed at a fraction of
+    # the activation memory.
+    remat_policy: str = "full"
     # Deformable-attention sampling implementation: "auto" | "pallas" |
     # "matmul" | "gather". All three are exact grid_sample semantics;
     # "pallas" is the fused MXU kernel (TPU only), "matmul" the XLA

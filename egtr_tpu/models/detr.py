@@ -189,9 +189,16 @@ class DeformableDetrBase(nn.Module):
         # rematerialized layers recompute the MSDA gathers in backward
         # instead of saving ~GB of patch activations (jax.checkpoint)
         # deterministic must be a STATIC positional under jax.checkpoint
-        EncLayer = nn.remat(EncoderLayer, static_argnums=(4, 6)) \
+        remat_kw = {}
+        if cfg.use_remat and cfg.remat_policy == "dots":
+            # save MXU outputs + the tagged MSDA kernel output; recompute
+            # only elementwise chains (norms, activations, residual adds)
+            remat_kw["policy"] = jax.checkpoint_policies.save_from_both_policies(
+                jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+                jax.checkpoint_policies.save_only_these_names("msda"))
+        EncLayer = nn.remat(EncoderLayer, static_argnums=(4, 6), **remat_kw) \
             if cfg.use_remat else EncoderLayer
-        DecLayer = nn.remat(DecoderLayer, static_argnums=(5, 7)) \
+        DecLayer = nn.remat(DecoderLayer, static_argnums=(5, 7), **remat_kw) \
             if cfg.use_remat else DecoderLayer
         for i in range(cfg.encoder_layers):
             hidden = EncLayer(

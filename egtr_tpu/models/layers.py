@@ -23,6 +23,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.ad_checkpoint import checkpoint_name
 
 from ..ops.msda import ms_deform_attn
 
@@ -214,6 +215,9 @@ class MSDeformableAttention(nn.Module):
             weights.astype(value.dtype), impl=self.msda_impl,
             window=self.window, query_segments=query_segments,
             int8=self.int8)
+        # under remat_policy="dots" the kernel output is saved (not
+        # recomputed) in the backward pass; no-op otherwise
+        out = checkpoint_name(out, "msda")
         out = dense(E, "output_proj", dtype=self.dtype,
                     kernel_init=nn.initializers.xavier_uniform())(out)
         return out

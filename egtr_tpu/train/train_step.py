@@ -1,11 +1,17 @@
 """jit-compiled train / eval steps with mesh sharding.
 
 One compiled program per (bucket shape, phase): forward -> loss -> grad ->
-clip -> AdamW update. Gradient accumulation runs as a ``lax.scan`` over
-microbatches inside the same program (the reference's Lightning
-``accumulate_grad_batches=2``, train_egtr.py:531,771). Data parallelism is
-expressed by sharding the batch over the mesh ``data`` axis; XLA inserts the
-gradient psum (the DDP all-reduce analog).
+clip -> AdamW update. Gradient accumulation (the reference's Lightning
+``accumulate_grad_batches=2``, train_egtr.py:531,771) runs as a Python loop
+of per-microbatch grad programs plus a donated accumulate/apply pair — NOT
+one fused program: fusing the unrolled microbatches into a single jit was
+measured 2.9 GB *larger* than the single-microbatch step (16.44 vs
+13.51 GB temps at 800x1344 B=4, OOM on a 16 GB v5e), because XLA keeps the
+whole unrolled schedule's buffers live. Multi-dispatch bounds peak HBM at
+one microbatch's footprint for any accumulation depth; the extra dispatch
+latency is noise against a multi-second full-res step. Data parallelism is
+expressed by sharding the batch over the mesh ``data`` axis; XLA inserts
+the gradient psum (the DDP all-reduce analog).
 """
 
 from __future__ import annotations
@@ -59,8 +65,17 @@ def make_train_step(model, cfg: EgtrConfig, tx,
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
+    def _update(state, grads, total, losses, lr_scale):
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        updates = jax.tree.map(lambda u: u * lr_scale, updates)
+        params = optax.apply_updates(state.params, updates)
+        metrics = dict(losses)
+        metrics["total_loss"] = total
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return TrainState(params, opt_state, state.step + 1), metrics
+
     @functools.partial(jax.jit, donate_argnums=(0,))
-    def train_step(state: TrainState, batch, rng, lr_scale=1.0):
+    def train_step_single(state: TrainState, batch, rng, lr_scale=1.0):
         """``lr_scale`` is a TRACED scalar multiplying the optimizer
         updates — AdamW updates (incl. the decoupled weight decay) are
         linear in the learning rate, so scaling them equals scaling
@@ -74,65 +89,77 @@ def make_train_step(model, cfg: EgtrConfig, tx,
         ones for the whole step, which is exactly the margin that OOMed
         the full-res B=4 recipe on a 16 GB chip. Callers must rebind
         (``state, m = train_step(state, ...)``) — all ours do."""
-        if accum_steps == 1:
-            (total, losses), grads = grad_fn(
-                state.params, batch["pixel_values"], batch["pixel_mask"],
-                batch["labels"], rng)
-        else:
-            def micro(carry, mb):
-                acc, _ = carry
-                (total, losses), grads = grad_fn(
-                    state.params, mb["pixel_values"], mb["pixel_mask"],
-                    mb["labels"], mb["rng"])
-                acc = jax.tree.map(jnp.add, acc, grads)
-                return (acc, (total, losses)), None
+        (total, losses), grads = grad_fn(
+            state.params, batch["pixel_values"], batch["pixel_mask"],
+            batch["labels"], rng)
+        return _update(state, grads, total, losses, lr_scale)
 
-            def split_mb(x):
-                return x.reshape(accum_steps, -1, *x.shape[1:])
+    if accum_steps == 1:
+        return train_step_single
 
-            mbs = {
-                "pixel_values": split_mb(batch["pixel_values"]),
-                "pixel_mask": split_mb(batch["pixel_mask"]),
-                "labels": jax.tree.map(split_mb, batch["labels"]),
-                "rng": jax.random.split(rng, accum_steps),
-            }
-            zero = jax.tree.map(jnp.zeros_like, state.params)
-            (grads, (total, losses)), _ = _scan_accum(
-                micro, zero, mbs, accum_steps)
-            grads = jax.tree.map(lambda g: g / accum_steps, grads)
+    @jax.jit
+    def _grads_mb(params, mb, rng):
+        (total, losses), grads = grad_fn(
+            params, mb["pixel_values"], mb["pixel_mask"], mb["labels"], rng)
+        return grads, total, losses
 
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        updates = jax.tree.map(lambda u: u * lr_scale, updates)
-        params = optax.apply_updates(state.params, updates)
-        metrics = dict(losses)
-        metrics["total_loss"] = total
-        metrics["grad_norm"] = optax.global_norm(grads)
-        return TrainState(params, opt_state, state.step + 1), metrics
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def _acc_add(acc, new):
+        return jax.tree.map(jnp.add, acc, new)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def _apply(state, acc, lr_scale=1.0):
+        grads, total, losses = acc
+        inv = 1.0 / accum_steps
+        grads = jax.tree.map(lambda g: g * inv, grads)
+        # metrics averaged over microbatches, not last-wins: the logged
+        # losses describe the full global batch, matching what the
+        # reference's Lightning loop logs for an accumulated step
+        total = total * inv
+        losses = jax.tree.map(lambda x: x * inv, losses)
+        return _update(state, grads, total, losses, lr_scale)
+
+    def train_step(state: TrainState, batch, rng, lr_scale=1.0):
+        """Accumulated step: ``batch`` is either the concatenated
+        [A*B, ...] dict (split here with the stride convention) or an
+        already-split list of A microbatch dicts (the mesh path:
+        trainer.fit splits on host and shards each microbatch over the
+        full data axis). State is donated by the final apply program."""
+        mbs = batch if isinstance(batch, (list, tuple)) \
+            else split_microbatches(batch, accum_steps)
+        rngs = jax.random.split(rng, accum_steps)
+        acc = _grads_mb(state.params, mbs[0], rngs[0])
+        for a in range(1, accum_steps):
+            acc = _acc_add(acc, _grads_mb(state.params, mbs[a], rngs[a]))
+        return _apply(state, acc, lr_scale)
 
     return train_step
 
 
-def _scan_accum(micro, zero, mbs, accum_steps):
-    """Python-unrolled accumulation (microbatch count is small and static;
-    unrolling avoids carrying the loss pytree through scan).
+def split_microbatches(batch, accum_steps: int):
+    """Split a global batch into ``accum_steps`` microbatches by row
+    stride (microbatch ``a`` takes rows ``a::accum_steps``).
 
-    Metrics are averaged over microbatches, not last-wins: with accum=A the
-    logged losses describe the full global batch, matching what the
-    reference's Lightning loop logs for an accumulated step."""
-    acc = zero
-    total_sum = None
-    losses_sum = None
-    for a in range(accum_steps):
-        mb = jax.tree.map(lambda x: x[a], mbs)
-        (acc, (total, losses)), _ = micro((acc, None), mb)
-        if total_sum is None:
-            total_sum, losses_sum = total, losses
-        else:
-            total_sum = total_sum + total
-            losses_sum = jax.tree.map(jnp.add, losses_sum, losses)
-    total = total_sum / accum_steps
-    losses = jax.tree.map(lambda x: x / accum_steps, losses_sum)
-    return (acc, (total, losses)), None
+    The stride convention (not contiguous blocks) is what makes multi-host
+    accumulation work: each host applies the same stride to its *local*
+    contiguous slice, and as long as the per-host row count divides by
+    ``accum_steps`` the per-host pieces of global microbatch ``a`` remain
+    contiguous and in host order — exactly the layout
+    ``jax.make_array_from_process_local_data`` expects (parallel/mesh.py).
+    """
+    def sp(a, x):
+        if x.shape[0] % accum_steps:
+            raise ValueError(
+                f"batch rows {x.shape[0]} not divisible by accumulation "
+                f"depth {accum_steps}")
+        return x[a::accum_steps]
+
+    return [
+        {"pixel_values": sp(a, batch["pixel_values"]),
+         "pixel_mask": sp(a, batch["pixel_mask"]),
+         "labels": jax.tree.map(lambda x: sp(a, x), batch["labels"])}
+        for a in range(accum_steps)
+    ]
 
 
 def make_eval_step(model, cfg: EgtrConfig, task: str = "sgg") -> Callable:

@@ -26,7 +26,8 @@ from ..config import EgtrConfig
 from ..parallel.mesh import replicate_state, shard_batch
 from .checkpoint import CheckpointManager
 from .optim import make_optimizer
-from .train_step import TrainState, create_state, make_eval_step, make_train_step
+from .train_step import (TrainState, create_state, make_eval_step,
+                         make_train_step, split_microbatches)
 
 
 class MetricLogger:
@@ -154,7 +155,15 @@ def fit(model, cfg: EgtrConfig, *, train_loader, val_loader, log_dir: str,
         t0 = time.time()
         n_steps = 0
         for batch in train_loader:
-            if mesh is not None:
+            if accum_steps > 1:
+                # split on host BEFORE sharding so every microbatch is
+                # sharded over the full data axis (slicing an already
+                # device-sharded batch would leave each microbatch on a
+                # subset of devices)
+                batch = split_microbatches(batch, accum_steps)
+                if mesh is not None:
+                    batch = [shard_batch(mb, mesh) for mb in batch]
+            elif mesh is not None:
                 batch = shard_batch(batch, mesh)
             rng, step_key = jax.random.split(rng)
             state, metrics = train_step(state, batch, step_key, lr_scale)

@@ -31,6 +31,8 @@ def main():
     ap.add_argument("--approx-topk", action="store_true",
                     help="approx_max_k hard-negative mining")
     ap.add_argument("--remat", type=lambda s: s != "0", default=False)
+    ap.add_argument("--remat-policy", dest="remat_policy", default="full",
+                    choices=["full", "dots"])
     ap.add_argument("--accum", type=int, default=1)
     args = ap.parse_args()
 
@@ -45,6 +47,7 @@ def main():
     print("backend:", jax.default_backend(), flush=True)
     cfg = EgtrConfig(num_queries=200, num_labels=150, num_rel_labels=50,
                      compute_dtype="bfloat16", use_remat=args.remat,
+                     remat_policy=args.remat_policy,
                      msda_impl=args.msda_impl, msda_window=args.window,
                      rel_sample_approx_topk=args.approx_topk,
                      auxiliary_loss=True)
@@ -92,7 +95,7 @@ def main():
     dt = (time.perf_counter() - t0) / args.iters
     print(f"train step {H}x{W} B={B} accum={args.accum} remat={args.remat} "
           f"impl={args.msda_impl} window={args.window}: {dt*1000:.0f} ms/step "
-          f"({B*args.accum/dt:.2f} img/s) loss={loss:.3f} "
+          f"({B/dt:.2f} img/s) loss={loss:.3f} "
           f"grad_norm={float(metrics['grad_norm']):.3f}", flush=True)
 
 

@@ -36,6 +36,8 @@ def parse_args():
     p.add_argument("--patience", type=int, default=15)
     p.add_argument("--compute_dtype", default="bfloat16")
     p.add_argument("--use_remat", type=str2bool, default=False)
+    p.add_argument("--remat_policy", default="dots",
+                   choices=["full", "dots"])
     p.add_argument("--max_gt_boxes", type=int, default=64)
     p.add_argument("--dp", type=int, default=None)
     p.add_argument("--mp", type=int, default=1)
@@ -83,7 +85,7 @@ def main():
         num_rel_labels=num_rel, auxiliary_loss=args.auxiliary_loss,
         ce_loss_coefficient=args.ce_loss_coefficient,
         max_gt_boxes=args.max_gt_boxes, compute_dtype=args.compute_dtype,
-        use_remat=args.use_remat)
+        use_remat=args.use_remat, remat_policy=args.remat_policy)
 
     mesh = make_mesh(dp=args.dp, mp=args.mp) if len(jax.devices()) > 1 \
         else None

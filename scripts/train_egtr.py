@@ -69,6 +69,8 @@ def parse_args():
     # TPU-native knobs
     p.add_argument("--compute_dtype", default="bfloat16")
     p.add_argument("--use_remat", type=str2bool, default=False)
+    p.add_argument("--remat_policy", default="dots",
+                   choices=["full", "dots"])
     p.add_argument("--max_gt_boxes", type=int, default=64)
     p.add_argument("--max_gt_rels", type=int, default=192)
     p.add_argument("--dp", type=int, default=None,
@@ -135,7 +137,8 @@ def main():
         logit_adjustment=args.logit_adjustment,
         logit_adj_tau=args.logit_adj_tau,
         max_gt_boxes=args.max_gt_boxes, max_gt_rels=args.max_gt_rels,
-        compute_dtype=args.compute_dtype, use_remat=args.use_remat)
+        compute_dtype=args.compute_dtype, use_remat=args.use_remat,
+        remat_policy=args.remat_policy)
 
     mesh = make_mesh(dp=args.dp, mp=args.mp) if len(jax.devices()) > 1 \
         else None

@@ -118,9 +118,10 @@ def test_grad_accumulation_matches_single_batch():
     cfg = TINY.replace(dropout=0.0)  # no dropout -> deterministic forward
     model = EgtrModel(cfg)
     half = make_batch(B=2)
-    # microbatch halves are identical -> identical normalizers
-    batch = jax.tree.map(
-        lambda x: np.concatenate([x, x], axis=0), half)
+    # microbatches are identical -> identical normalizers (the accum path
+    # splits by row STRIDE: microbatch a takes rows a::A, so repeating
+    # each row makes both stride-microbatches equal `half`)
+    batch = jax.tree.map(lambda x: np.repeat(x, 2, axis=0), half)
     params = model.init(jax.random.PRNGKey(0),
                         jnp.asarray(batch["pixel_values"][:1]))
     # plain SGD at lr=1 so (params_before - params_after) IS the gradient —
@@ -161,8 +162,11 @@ def test_grad_accum_metrics_are_batch_mean():
     model = EgtrModel(cfg)
     mb_a = make_batch(B=2, seed=0)
     mb_b = make_batch(B=2, seed=7)
-    batch = jax.tree.map(lambda x, y: np.concatenate([x, y], axis=0),
-                         mb_a, mb_b)
+    # interleave rows (a0,b0,a1,b1): the accum path's stride split then
+    # reproduces exactly mb_a and mb_b as its two microbatches
+    batch = jax.tree.map(
+        lambda x, y: np.stack([x, y], axis=1).reshape((-1,) + x.shape[1:]),
+        mb_a, mb_b)
     params = model.init(jax.random.PRNGKey(0),
                         jnp.asarray(batch["pixel_values"][:1]))
     import optax
@@ -245,3 +249,38 @@ def test_lr_scale_equals_scaled_lrs():
                 np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-12),
             u1s, u2)
         params = optax.apply_updates(params, u2)
+
+
+def test_remat_policies_match_no_remat():
+    """use_remat full/dots must be numerically identical to no-remat:
+    same loss and same grads (remat changes scheduling, not math)."""
+    import dataclasses
+    import optax
+
+    batch = make_batch()
+    cfg0 = dataclasses.replace(TINY, dropout=0.0)
+    variants = {
+        "none": cfg0,
+        "full": dataclasses.replace(cfg0, use_remat=True),
+        "dots": dataclasses.replace(cfg0, use_remat=True,
+                                    remat_policy="dots"),
+    }
+    tx = optax.sgd(learning_rate=1.0)
+    params = EgtrModel(cfg0).init(
+        jax.random.PRNGKey(0), jnp.asarray(batch["pixel_values"][:1]))
+    metrics = {}
+    grads = {}
+    for name, cfg in variants.items():
+        step = make_train_step(EgtrModel(cfg), cfg, tx)
+        s, m = step(create_state(fresh(params), tx), batch,
+                    jax.random.PRNGKey(1))
+        metrics[name] = {k: float(v) for k, v in m.items()}
+        grads[name] = jax.tree.map(np.asarray, s.params)
+    for name in ("full", "dots"):
+        np.testing.assert_allclose(
+            metrics[name]["total_loss"], metrics["none"]["total_loss"],
+            rtol=1e-6, err_msg=name)
+        for a, b in zip(jax.tree.leaves(grads["none"]),
+                        jax.tree.leaves(grads[name])):
+            np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-6,
+                                       err_msg=name)
