@@ -113,6 +113,24 @@ class EgtrConfig:
     # stay exact-bf16 (straight-through). Composes with msda_window.
     msda_int8: bool = False
 
+    def __post_init__(self):
+        # Enum-ish string fields are consumed by `==`/`in` checks at use
+        # sites (detr.py checks `remat_policy == "dots"`), so a typo'd
+        # value (e.g. from a hand-edited config.json) would silently
+        # select the default behavior. Reject unknown values up front.
+        if self.remat_policy not in ("full", "dots"):
+            raise ValueError(
+                f"remat_policy must be 'full' or 'dots', got "
+                f"{self.remat_policy!r}")
+        if self.msda_impl not in ("auto", "pallas", "matmul", "gather"):
+            raise ValueError(
+                f"msda_impl must be one of auto/pallas/matmul/gather, got "
+                f"{self.msda_impl!r}")
+        if self.position_embedding_type not in ("sine", "learned"):
+            raise ValueError(
+                f"position_embedding_type must be 'sine' or 'learned', got "
+                f"{self.position_embedding_type!r}")
+
     @property
     def head_dim(self) -> int:
         return self.d_model // self.decoder_attention_heads

@@ -68,6 +68,12 @@ class Loader:
             if not hasattr(dataset, "nominal_size") or getattr(
                     dataset, "use_crop", False):
                 fixed_bucket = max(self.buckets, key=lambda b: b[0] * b[1])
+            elif hasattr(dataset, "precache_sizes"):
+                # per-batch bucketing will query nominal_size for every
+                # index of every GLOBAL batch — prime the whole cache in
+                # one pass now instead of opening other hosts' image
+                # files per batch for the rest of training
+                dataset.precache_sizes()
         self.fixed_bucket = fixed_bucket
         self._epoch = 0
         self._clamped = 0  # samples downscaled to fit an agreed bucket
@@ -173,13 +179,18 @@ class Loader:
         """Yields (global_idxs, host_idxs, host_valid); every host sees the
         identical global stream and takes its contiguous slice.
 
-        A trailing partial global batch cannot be split unevenly over
-        hosts: with ``drop_last`` it is dropped; otherwise (multi-host
-        eval) it is PADDED by repeating the last index so every loaded
-        image is still evaluated exactly once — the pad rows carry
-        ``valid=False`` and evaluators skip them. (The reference's
-        DistributedSampler pads by wrap-around, then evaluates duplicates;
-        we keep the padding but mark it.)"""
+        A trailing partial batch: with ``drop_last`` it is dropped;
+        otherwise it is PADDED to the full batch size by repeating the
+        last index, so every loaded image is still evaluated exactly once
+        — the pad rows carry ``valid=False``; evaluators skip them and
+        the eval criterion masks them out of the validation loss.
+        Padding is UNCONDITIONAL (not just multi-host, where an uneven
+        split over hosts would be impossible): a shrunken single-process
+        tail batch would change the compiled shape and cost an extra
+        eval-program compile per distinct tail size — minutes per shape
+        over the axon tunnel. (The reference's DistributedSampler pads by
+        wrap-around, then evaluates duplicates; we keep the padding but
+        mark it.)"""
         order = np.arange(len(self.dataset))
         if self.shuffle:
             rng = np.random.default_rng(self.seed + self._epoch)
@@ -191,13 +202,10 @@ class Loader:
             if len(idxs) < self.batch_size:
                 if self.drop_last:
                     return
-                if self.process_count > 1:
-                    valid[len(idxs):] = False
-                    idxs = np.concatenate(
-                        [idxs, np.repeat(idxs[-1:],
-                                         self.batch_size - len(idxs))])
-                else:
-                    valid = valid[:len(idxs)]
+                valid[len(idxs):] = False
+                idxs = np.concatenate(
+                    [idxs, np.repeat(idxs[-1:],
+                                     self.batch_size - len(idxs))])
             lo = self.process_index * per_host
             if self.process_count > 1:
                 yield idxs, idxs[lo:lo + per_host], valid[lo:lo + per_host]

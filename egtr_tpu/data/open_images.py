@@ -83,6 +83,23 @@ class OIDataset:
         s = max(DETR_TRAIN_SCALES) if self.train_aug else self.size
         return size_with_aspect_ratio(wh[0], wh[1], s, self.max_size)
 
+    def precache_sizes(self) -> None:
+        """Fill the ``nominal_size`` header cache for the WHOLE dataset in
+        one upfront pass. Multi-host bucketing queries ``nominal_size``
+        for every index of every *global* batch — lazily, that is an
+        O(global_batch) file-open (for other hosts' images this host
+        never decodes) on every single batch, forever; one init-time pass
+        bounds it at one open per image total. Called by the Loader only
+        when it will actually derive per-batch buckets (multi-host, no
+        fixed bucket)."""
+        if not hasattr(self, "_size_cache"):
+            self._size_cache = {}
+        for idx, t in enumerate(self.targets):
+            if idx not in self._size_cache:
+                with Image.open(os.path.join(
+                        self.img_dir, f"{t['img_fn']}.jpg")) as im:
+                    self._size_cache[idx] = im.size
+
     def __getitem__(self, idx: int) -> Sample:
         t = self.targets[idx]
         img = Image.open(

@@ -78,6 +78,12 @@ def evaluate_sgg(model, cfg, params, loader, rel_categories: Sequence[str], *,
     per_pred_single = {name: SceneGraphEvaluator(multiple_preds=False)
                        for name in rel_categories} \
         if eval_single_preds else None
+    # the reference computes mean recall for BOTH evaluator modes — the
+    # paper reports the unconstrained mR from the multiple-preds list
+    # (train_egtr.py:112-121,410-417, sg_eval.py:331-372)
+    per_pred_multiple = {name: SceneGraphEvaluator(multiple_preds=True)
+                         for name in rel_categories} \
+        if eval_multiple_preds else None
 
     n_img = 0
     for batch in loader:
@@ -146,6 +152,13 @@ def evaluate_sgg(model, cfg, params, loader, rel_categories: Sequence[str], *,
                     "rel_scores": post["mult_rel_scores"][j],
                 }
                 multiple.evaluate_entry(gt_entry, entry)
+                for pred_id, name in enumerate(rel_categories):
+                    mask = gt_rels[:, 2] == pred_id
+                    if not mask.any():
+                        continue
+                    sub_gt = dict(gt_entry)
+                    sub_gt["gt_relations"] = gt_rels[mask]
+                    per_pred_multiple[name].evaluate_entry(sub_gt, entry)
             if oi_evaluator is not None:
                 Q = post["pred_classes"].shape[1]
                 so = np.array([(a, b) for a in range(Q) for b in range(Q)])
@@ -165,7 +178,9 @@ def evaluate_sgg(model, cfg, params, loader, rel_categories: Sequence[str], *,
     _merge_across_hosts([e for e in (single, multiple, coco, oi_evaluator)
                          if e is not None]
                         + (list(per_pred_single.values())
-                           if per_pred_single else []))
+                           if per_pred_single else [])
+                        + (list(per_pred_multiple.values())
+                           if per_pred_multiple else []))
 
     metrics: Dict[str, float] = {}
     if single is not None:
@@ -177,6 +192,9 @@ def evaluate_sgg(model, cfg, params, loader, rel_categories: Sequence[str], *,
     if multiple is not None:
         metrics.update({f"multiple/{k}": v
                         for k, v in multiple.aggregate().items()})
+        per_pred = {n: e.aggregate() for n, e in per_pred_multiple.items()}
+        metrics.update({f"multiple/{k}": v for k, v in evaluate_mean_recall(
+            per_pred, len(rel_categories)).items()})
     if coco is not None:
         metrics.update({f"coco/{k}": v for k, v in coco.summarize().items()})
     if oi_evaluator is not None:

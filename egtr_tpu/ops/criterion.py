@@ -59,16 +59,24 @@ def match(logits, pred_boxes, targets, cfg: EgtrConfig,
 
 
 def detection_losses(logits, pred_boxes, targets, res: MatchResult,
-                     num_boxes_total, cfg: EgtrConfig) -> Dict[str, jax.Array]:
+                     num_boxes_total, cfg: EgtrConfig,
+                     valid_img=None) -> Dict[str, jax.Array]:
     """labels (focal), boxes (L1 + GIoU), cardinality.
 
     Reference reductions: loss_ce = focal.mean(1).sum()/num_boxes * Q
     == elementwise_sum / num_boxes (egtr.py:648-659); box losses are
     sums over matched pairs / num_boxes (egtr.py:693-719).
+
+    ``valid_img`` ([B] float, optional): per-image weight — 0 for the
+    duplicated pad rows a padded eval tail carries (data/loader.py), so
+    the validation loss over a padded batch equals the loss over its
+    real rows only. None = all ones (training batches are never padded).
     """
     B, Q, C = logits.shape
     G = targets["class_labels"].shape[1]
-    valid = (jnp.arange(G)[None] < targets["num_boxes"][:, None])  # [B,G]
+    v = jnp.ones((B,), logits.dtype) if valid_img is None else valid_img
+    valid = (jnp.arange(G)[None] < targets["num_boxes"][:, None]) \
+        & (v[:, None] > 0)                                         # [B,G]
 
     # --- classification (focal over one-hot with background dropped) ---
     matched = res.gt_index >= 0                                    # [B,Q]
@@ -79,7 +87,7 @@ def detection_losses(logits, pred_boxes, targets, res: MatchResult,
                             dtype=logits.dtype)[..., :-1]          # [B,Q,C]
     focal = sigmoid_focal_loss_elementwise(
         logits, onehot, alpha=cfg.focal_alpha, gamma=2.0)
-    loss_ce = focal.sum() / num_boxes_total
+    loss_ce = (focal.sum(axis=(1, 2)) * v).sum() / num_boxes_total
 
     # --- boxes ---
     src_boxes = jnp.take_along_axis(
@@ -96,21 +104,25 @@ def detection_losses(logits, pred_boxes, targets, res: MatchResult,
     #     LAST real class since there is no background logit,
     #     egtr.py:663-677) ---
     card_pred = (jnp.argmax(logits, -1) != C - 1).sum(1)
-    card_err = jnp.abs(
+    card_abs = jnp.abs(
         card_pred.astype(jnp.float32)
-        - targets["num_boxes"].astype(jnp.float32)).mean()
+        - targets["num_boxes"].astype(jnp.float32))
+    card_err = (card_abs * v).sum() / jnp.maximum(v.sum(), 1.0)
 
     return {"loss_ce": loss_ce, "loss_bbox": loss_bbox,
             "loss_giou": loss_giou, "cardinality_error": card_err}
 
 
-def uncertainty_loss(targets, res: MatchResult) -> jax.Array:
+def uncertainty_loss(targets, res: MatchResult, valid_img=None) -> jax.Array:
     """No-grad diagnostic (egtr.py:679-689): mean over gt relation entries of
-    sigmoid(cost_i) * sigmoid(cost_j)."""
+    sigmoid(cost_i) * sigmoid(cost_j). ``valid_img`` zeroes pad images."""
     u = jax.nn.sigmoid(res.matching_cost)                          # [B,G]
     rel = targets["rel"]                                           # [B,G,G,R]
     pair_u = u[:, :, None] * u[:, None, :]                         # [B,G,G]
-    total = (rel.sum(-1) * pair_u).sum()
+    if valid_img is not None:
+        pair_u = pair_u * valid_img[:, None, None]
+        rel = rel * valid_img[:, None, None, None]
+    total = (targets["rel"].sum(-1) * pair_u).sum()
     count = rel.sum()
     return jax.lax.stop_gradient(total / jnp.maximum(count, 1.0))
 
@@ -135,15 +147,20 @@ def _permuted_rel_target(targets, res: MatchResult, Q: int):
 
 def relation_losses(pred_rel_logits, pred_conn_logits, targets,
                     res: MatchResult, cfg: EgtrConfig, train: bool,
-                    rng: Optional[jax.Array] = None) -> Dict[str, jax.Array]:
+                    rng: Optional[jax.Array] = None,
+                    valid_img=None) -> Dict[str, jax.Array]:
     """loss_rel + loss_connectivity (egtr.py:754-921).
 
     Training uses hard-negative sampling: per image, k = num_gt_rels *
     rel_sample_negatives largest-scoring negatives within the matched block,
     and likewise for non-matching pairs, re-expressed as fixed-size top-k
     with rank masking. Eval averages BCE.mean(-1) over all Q^2 pairs.
+    ``valid_img`` ([B] float) zeroes pad images' contributions.
     """
     B, Q, _, R = pred_rel_logits.shape
+    v = jnp.ones((B,), jnp.float32) if valid_img is None \
+        else valid_img.astype(jnp.float32)
+    nv = jnp.maximum(v.sum(), 1.0)
     nm_cost = nonmatching_cost(cfg)
 
     matched = res.gt_index >= 0                                     # [B,Q]
@@ -160,15 +177,17 @@ def relation_losses(pred_rel_logits, pred_conn_logits, targets,
     # --- connectivity (always over all pairs; egtr.py:783-796) ---
     target_conn = (target_q.max(-1, keepdims=True) > 0).astype(
         pred_conn_logits.dtype)                                     # [B,Q,Q,1]
-    loss_connectivity = bce_with_logits(pred_conn_logits, target_conn).mean()
+    conn_bce = bce_with_logits(pred_conn_logits, target_conn)
+    loss_connectivity = (conn_bce.mean(axis=(1, 2, 3)) * v).sum() / nv
 
     # adaptive smoothing weight applied to positive targets
     smoothed_target = target_q * pair_w[..., None]
 
     if not train or (cfg.rel_sample_negatives is None
                      and cfg.rel_sample_nonmatching is None):
-        loss_rel = bce_with_logits(pred_rel_logits, smoothed_target)\
-            .mean(-1).mean()
+        per_img = bce_with_logits(pred_rel_logits, smoothed_target)\
+            .mean(axis=(1, 2, 3))
+        loss_rel = (per_img * v).sum() / nv
         return {"loss_rel": loss_rel, "loss_connectivity": loss_connectivity}
 
     # --- training: sampled entries ---
@@ -229,22 +248,22 @@ def relation_losses(pred_rel_logits, pred_conn_logits, targets,
         nonm_mask, cfg.rel_sample_nonmatching,
         cfg.rel_sample_nonmatching_largest, key_nonm)
 
-    total = (sum_true + sum_neg + sum_nonm).sum()
-    count = (n_true + k_neg + k_nonm).sum()
+    total = ((sum_true + sum_neg + sum_nonm) * v).sum()
+    count = ((n_true + k_neg + k_nonm) * v).sum()
     loss_rel = total / jnp.maximum(count, 1)
     # Static top-k size caps sampled negatives at rel_sample_* *
     # max_gt_rels per image; the reference caps only at the number of
     # available candidates (egtr.py:848-907). The cap binds only for
     # images with > max_gt_rels true relation entries — surface how often
     # as a streamed metric so silent divergence is visible in training logs.
-    capped = (n_true > cfg.max_gt_rels).astype(jnp.float32).mean()
+    capped = ((n_true > cfg.max_gt_rels) * v).sum() / nv
     return {"loss_rel": loss_rel, "loss_connectivity": loss_connectivity,
             "rel_sample_capped_frac": capped}
 
 
 def _enc_losses(outputs, targets, cfg: EgtrConfig, num_boxes_total,
                 losses: dict, weight: dict,
-                smoothing: Optional[float] = None) -> None:
+                smoothing: Optional[float] = None, valid_img=None) -> None:
     """Two-stage proposal losses with binarized class labels
     (egtr.py:1019-1033 / deformable_detr.py:2848-2859)."""
     if not cfg.two_stage or outputs.get("enc_outputs_class") is None:
@@ -255,7 +274,7 @@ def _enc_losses(outputs, targets, cfg: EgtrConfig, num_boxes_total,
     bin_targets["class_labels"] = jnp.zeros_like(targets["class_labels"])
     res = match(enc_logits, enc_boxes, bin_targets, cfg, smoothing=smoothing)
     enc = detection_losses(enc_logits, enc_boxes, bin_targets, res,
-                           num_boxes_total, cfg)
+                           num_boxes_total, cfg, valid_img=valid_img)
     for k in ("loss_ce", "loss_bbox", "loss_giou"):
         losses[f"{k}_enc"] = enc[k]
         weight[f"{k}_enc"] = weight[k]
@@ -263,21 +282,29 @@ def _enc_losses(outputs, targets, cfg: EgtrConfig, num_boxes_total,
 
 
 def sgg_criterion(outputs, targets, cfg: EgtrConfig, train: bool,
-                  rng: Optional[jax.Array] = None
+                  rng: Optional[jax.Array] = None, valid=None
                   ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
-    """Full EGTR loss (egtr.py:421-505 + SceneGraphGenerationLoss.forward)."""
+    """Full EGTR loss (egtr.py:421-505 + SceneGraphGenerationLoss.forward).
+
+    ``valid`` ([B] bool, optional): per-image mask for padded eval tails
+    (data/loader.py pads trailing partial batches with duplicates of the
+    last image); masked losses equal the losses over the real rows only.
+    """
     logits = outputs["logits"]
     pred_boxes = outputs["pred_boxes"]
-    num_boxes_total = jnp.maximum(
-        targets["num_boxes"].sum().astype(jnp.float32), 1.0)
+    v = None if valid is None else valid.astype(jnp.float32)
+    num_boxes = targets["num_boxes"].astype(jnp.float32)
+    if v is not None:
+        num_boxes = num_boxes * v
+    num_boxes_total = jnp.maximum(num_boxes.sum(), 1.0)
 
     res = match(logits, pred_boxes, targets, cfg)
     losses = detection_losses(
-        logits, pred_boxes, targets, res, num_boxes_total, cfg)
+        logits, pred_boxes, targets, res, num_boxes_total, cfg, valid_img=v)
     losses.update(relation_losses(
         outputs["pred_rel_logits"], outputs["pred_connectivity_logits"],
-        targets, res, cfg, train, rng))
-    losses["uncertainty"] = uncertainty_loss(targets, res)
+        targets, res, cfg, train, rng, valid_img=v))
+    losses["uncertainty"] = uncertainty_loss(targets, res, valid_img=v)
 
     weight = {
         "loss_ce": cfg.ce_loss_coefficient,
@@ -293,30 +320,36 @@ def sgg_criterion(outputs, targets, cfg: EgtrConfig, train: bool,
             aux_boxes = outputs["all_pred_boxes"][:, i]
             aux_res = match(aux_logits, aux_boxes, targets, cfg)
             aux = detection_losses(
-                aux_logits, aux_boxes, targets, aux_res, num_boxes_total, cfg)
+                aux_logits, aux_boxes, targets, aux_res, num_boxes_total,
+                cfg, valid_img=v)
             for k in ("loss_ce", "loss_bbox", "loss_giou"):
                 losses[f"{k}_{i}"] = aux[k]
                 weight[f"{k}_{i}"] = weight[k]
             losses[f"cardinality_error_{i}"] = aux["cardinality_error"]
 
-    _enc_losses(outputs, targets, cfg, num_boxes_total, losses, weight)
+    _enc_losses(outputs, targets, cfg, num_boxes_total, losses, weight,
+                valid_img=v)
     total = sum(losses[k] * w for k, w in weight.items() if k in losses)
     return total, losses
 
 
-def detection_criterion(outputs, targets, cfg: EgtrConfig
+def detection_criterion(outputs, targets, cfg: EgtrConfig, valid=None
                         ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """Detector pretraining loss (DeformableDetrForObjectDetection,
     deformable_detr.py:2562-2618): labels/boxes/cardinality with matcher
-    class_cost = ce_loss_coefficient, no smoothing; aux per-layer re-match."""
+    class_cost = ce_loss_coefficient, no smoothing; aux per-layer re-match.
+    ``valid``: per-image mask for padded eval tails (see sgg_criterion)."""
     logits = outputs["logits"]
     pred_boxes = outputs["pred_boxes"]
-    num_boxes_total = jnp.maximum(
-        targets["num_boxes"].sum().astype(jnp.float32), 1.0)
+    v = None if valid is None else valid.astype(jnp.float32)
+    num_boxes = targets["num_boxes"].astype(jnp.float32)
+    if v is not None:
+        num_boxes = num_boxes * v
+    num_boxes_total = jnp.maximum(num_boxes.sum(), 1.0)
 
     res = match(logits, pred_boxes, targets, cfg, smoothing=0.0)
     losses = detection_losses(
-        logits, pred_boxes, targets, res, num_boxes_total, cfg)
+        logits, pred_boxes, targets, res, num_boxes_total, cfg, valid_img=v)
 
     weight = {
         "loss_ce": cfg.ce_loss_coefficient,
@@ -329,13 +362,14 @@ def detection_criterion(outputs, targets, cfg: EgtrConfig
             aux_boxes = outputs["all_pred_boxes"][:, i]
             aux_res = match(aux_logits, aux_boxes, targets, cfg, smoothing=0.0)
             aux = detection_losses(
-                aux_logits, aux_boxes, targets, aux_res, num_boxes_total, cfg)
+                aux_logits, aux_boxes, targets, aux_res, num_boxes_total,
+                cfg, valid_img=v)
             for k in ("loss_ce", "loss_bbox", "loss_giou"):
                 losses[f"{k}_{i}"] = aux[k]
                 weight[f"{k}_{i}"] = weight[k]
             losses[f"cardinality_error_{i}"] = aux["cardinality_error"]
 
     _enc_losses(outputs, targets, cfg, num_boxes_total, losses, weight,
-                smoothing=0.0)
+                smoothing=0.0, valid_img=v)
     total = sum(losses[k] * w for k, w in weight.items() if k in losses)
     return total, losses

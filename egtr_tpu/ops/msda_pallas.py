@@ -75,6 +75,27 @@ def _tq_fwd(N: int) -> int:
     return fit_tile(N, 3)
 
 
+# NEGATIVE RESULT (round 4, measured): batching all P points into ONE
+# stage-1 MXU dot per (level, tile) — rows pre-packed [B,H,T,1,P*TQ], one
+# [N, w] @ [w, P*TQ] dot — is ~2x SLOWER on device than the p-loop of 4
+# dots (encoder-scale probe: 39.3 vs 33.3 ms/call incl. the ~27 ms tunnel
+# fetch, i.e. ~12 vs ~6 ms device). The hypothesis was amortizing the
+# systolic weight-load fill across 4x the lanes; in practice the VMEM
+# pressure of the [N, P*TQ] f32 intermediates forces the minimum TQ=128
+# tile (4x the grid steps) and the strided [h, D, P, TQ] fold reduces
+# worse than the p-loop's in-place accumulate. Kept behind
+# EGTR_MSDA_BATCH_P=1 for re-probing; oracle tests cover both variants.
+import os as _os
+
+FWD_BATCH_P = _os.environ.get("EGTR_MSDA_BATCH_P", "0") == "1"
+
+
+def _tq_fwd_bp(N: int, P: int) -> int:
+    # batched-P forward: the live [N, P*TQ] f32 temporaries (T, the
+    # hy*aw product before the P-fold, the f32 hat) scale with P
+    return fit_tile(N * P, 3)
+
+
 def _tq_bwd(N: int) -> int:
     # backward keeps ~8 live [N, TQ] f32 temporaries
     # (g_tile, ysub, hy, dT, T, Tg, dvtt acc, fusion slack)
@@ -129,6 +150,57 @@ def _fwd_kernel(ix_ref, iy_ref, aw_ref, vtt_ref, out_ref, *, h, w, D, P, cdt):
     _fwd_body(ix_ref, iy_ref, aw_ref, vtt_ref[0, 0], out_ref, h, w, D, P, cdt)
 
 
+def _fwd_body_bp(ix_ref, iy_ref, aw_ref, vtt, out_ref, h, w, D, P, cdt):
+    """Batched-P forward body: rows arrive pre-flattened [1,1,1,P*TQ]
+    (P major, TQ minor — see ``_pt_rows``), stage 1 is ONE
+    [N, w] @ [w, P*TQ] dot, and the P-point fold happens in the same
+    reshape-reduce that folds y. Numerically identical to the p-loop
+    body (same dots, same f32 accumulation order per point)."""
+    N = vtt.shape[0]
+    PT = ix_ref.shape[4]
+    TQ = PT // P
+    quant = vtt.dtype == jnp.int8
+
+    ixall = ix_ref[0, 0, 0, 0, :][None, :]                 # [1, P*TQ]
+    iyall = iy_ref[0, 0, 0, 0, :][None, :]
+    awall = aw_ref[0, 0, 0, 0, :][None, :]
+
+    xsub = lax.broadcasted_iota(jnp.int32, (w, PT), 0).astype(jnp.float32)
+    ysub = lax.broadcasted_iota(jnp.int32, (h, PT), 0).astype(jnp.float32)
+
+    hx = jnp.maximum(0.0, 1.0 - jnp.abs(ixall - xsub))     # [w, P*TQ]
+    if quant:
+        hxq = jnp.round(hx * 127.0).astype(jnp.int8)
+        T = jnp.dot(vtt, hxq, preferred_element_type=jnp.int32
+                    ).astype(jnp.float32)                  # [N, P*TQ]
+    else:
+        T = jnp.dot(vtt, hx.astype(cdt),
+                    preferred_element_type=jnp.float32)
+    hyw = jnp.maximum(0.0, 1.0 - jnp.abs(iyall - ysub)) * awall  # [h, P*TQ]
+    acc = T.reshape(h, D, P, TQ) * hyw.reshape(h, 1, P, TQ)
+    # fold y and the point axis together: [h, D, P, TQ] -> [D, TQ]
+    out_ref[0, 0] = acc.sum(axis=(0, 2))
+
+
+def _fwd_kernel_bp(ix_ref, iy_ref, aw_ref, vtt_ref, out_ref, *,
+                   h, w, D, P, cdt):
+    _fwd_body_bp(ix_ref, iy_ref, aw_ref, vtt_ref[0, 0], out_ref,
+                 h, w, D, P, cdt)
+
+
+def _pt_rows(t, TQ: int):
+    """[B, H, P, Q_pad] -> [B, H, T, 1, P*TQ]: each tile's P rows packed
+    contiguously on lanes (P major, TQ minor), so the kernel's single
+    stage-1 dot covers all P points. Pure XLA relayout, fused into the
+    marshalling transposes. The singleton axis satisfies Mosaic's
+    block-shape rule (second-to-last block dim must equal the array dim
+    or be a multiple of 8 — the per-tile block covers exactly one tile)."""
+    B, H, P, Qp = t.shape
+    T = Qp // TQ
+    return (t.reshape(B, H, P, T, TQ).transpose(0, 1, 3, 2, 4)
+            .reshape(B, H, T, 1, P * TQ))
+
+
 def _fwd_kernel_win(bidx_ref, ix_ref, iy_ref, aw_ref, vb_ref, out_ref, *,
                     win, w, D, P, cdt):
     # bidx_ref (scalar prefetch) is consumed by the index_maps only: it
@@ -138,11 +210,37 @@ def _fwd_kernel_win(bidx_ref, ix_ref, iy_ref, aw_ref, vb_ref, out_ref, *,
               win, w, D, P, cdt)
 
 
-def _level_pallas_fwd(VtT, ix, iy, aw, *, h, w, D, P):
+def _level_pallas_fwd(VtT, ix, iy, aw, *, h, w, D, P, batch_p=None):
     """VtT: [B,H,h*D,w] (compute dtype); ix/iy/aw: [B,H,P,Q_pad] f32.
     Returns [B,H,D,Q_pad] f32."""
     B, H, N, _ = VtT.shape
     Q_pad = ix.shape[3]
+    if batch_p is None:
+        batch_p = FWD_BATCH_P
+
+    if batch_p:
+        TQ = _tq_fwd_bp(N, P)
+        # callers pad to _tq_fwd(N) multiples; the batched tile is always
+        # <= that and both are 128*2^k, so it divides the padding
+        assert Q_pad % TQ == 0
+        n_tiles = Q_pad // TQ
+        kern = functools.partial(_fwd_kernel_bp, h=h, w=w, D=D, P=P,
+                                 cdt=VtT.dtype)
+        rows_spec = pl.BlockSpec((1, 1, 1, 1, P * TQ),
+                                 lambda b, hh, t: (b, hh, t, 0, 0))
+        return pl.pallas_call(
+            kern,
+            grid=(B, H, n_tiles),
+            in_specs=[
+                rows_spec, rows_spec, rows_spec,
+                pl.BlockSpec((1, 1, N, w), lambda b, hh, t: (b, hh, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, 1, D, TQ),
+                                   lambda b, hh, t: (b, hh, 0, t)),
+            out_shape=jax.ShapeDtypeStruct((B, H, D, Q_pad), jnp.float32),
+            interpret=_interpret(),
+        )(_pt_rows(ix, TQ), _pt_rows(iy, TQ), _pt_rows(aw, TQ), VtT)
+
     TQ = _tq_fwd(N)
     assert Q_pad % TQ == 0  # _level_inputs pads to the tile returned here
     n_tiles = Q_pad // TQ
@@ -438,7 +536,8 @@ def _level_pallas_bwd(VtT, ix, iy, aw, g, *, h, w, D, P):
     B, H, N, _ = VtT.shape
     Q_pad = ix.shape[3]
     TQ = _tq_bwd(N)
-    assert Q_pad % TQ == 0  # forward pads to _tq_fwd, a multiple of this
+    # callers pad to _tq_bwd or a larger 128*2^k tile — both divisible
+    assert Q_pad % TQ == 0
     n_tiles = Q_pad // TQ
 
     rows_spec = pl.BlockSpec((1, 1, P, TQ), lambda b, hh, t: (b, hh, 0, t))
@@ -614,7 +713,9 @@ def _msda_pallas_bwd(spatial_shapes, res, g):
     start = 0
     for lid, (h, w) in enumerate(spatial_shapes):
         value_l = lax.slice_in_dim(value, start, start + h * w, axis=1)
-        TQ = _tq_fwd(h * D)
+        # the backward re-marshals from raw residuals, so it pads to its
+        # OWN tile — decoupled from whatever tiling the forward used
+        TQ = _tq_bwd(h * D)
         VtT, ix, iy, aw = _level_inputs(
             value_l, sampling_locations[:, :, :, lid],
             attention_weights[:, :, :, lid], h, w, P, TQ)

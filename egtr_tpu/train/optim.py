@@ -18,13 +18,26 @@ global-norm clipping (gradient_clip_val=0.1, train_egtr.py:539).
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Collection, Optional
 
 import jax
 import optax
 
 
-def param_label(path: tuple) -> str:
+def param_label(path: tuple,
+                initialized_paths: Optional[Collection[str]] = None) -> str:
+    """Label one param path with its LR group.
+
+    ``initialized_paths``: the freshly-initialized param paths returned by
+    ``checkpoint.merge_pretrained`` ("/"-joined; entries may be subtree
+    prefixes). The reference builds its ``lr_initialized`` group from
+    exactly this set — every missing-or-shape-mismatched key of
+    ``from_pretrained`` (train_egtr.py:263-272,426-467) — so e.g. a
+    ``class_embed`` re-initialized for a different label count trains at
+    ``lr_initialized`` too, not just the relation head. ``None`` (legacy
+    callers without a pretrained merge) falls back to the relation-head
+    heuristic, which equals the reference set for the standard
+    detector→EGTR finetune."""
     keys = [getattr(p, "key", getattr(p, "name", str(p))) for p in path]
     joined = "/".join(str(k) for k in keys)
     # frozen sets
@@ -45,7 +58,11 @@ def param_label(path: tuple) -> str:
         return "backbone"
     if "reference_points" in joined or "sampling_offsets" in joined:
         return "backbone"
-    if "relation_head" in joined:
+    if initialized_paths is None:
+        if "relation_head" in joined:
+            return "initialized"
+    elif any(joined == p or joined.startswith(p + "/")
+             for p in initialized_paths):
         return "initialized"
     return "main"
 
@@ -53,7 +70,9 @@ def param_label(path: tuple) -> str:
 def make_optimizer(lr: float, lr_backbone: float,
                    lr_initialized: Optional[float] = None,
                    weight_decay: float = 1e-4,
-                   grad_clip: float = 0.1) -> optax.GradientTransformation:
+                   grad_clip: float = 0.1,
+                   initialized_paths: Optional[Collection[str]] = None
+                   ) -> optax.GradientTransformation:
     def adamw(learning_rate):
         return optax.adamw(learning_rate, b1=0.9, b2=0.999, eps=1e-8,
                            weight_decay=weight_decay)
@@ -66,9 +85,13 @@ def make_optimizer(lr: float, lr_backbone: float,
         "frozen": optax.set_to_zero(),
     }
 
+    # freeze the path set now: optax calls `labels` lazily at init time
+    paths = tuple(initialized_paths) if initialized_paths is not None \
+        else None
+
     def labels(params):
         return jax.tree_util.tree_map_with_path(
-            lambda path, _: param_label(path), params)
+            lambda path, _: param_label(path, paths), params)
 
     tx = optax.multi_transform(transforms, labels)
     if grad_clip:

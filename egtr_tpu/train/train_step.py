@@ -48,19 +48,19 @@ def make_train_step(model, cfg: EgtrConfig, tx,
     """
     criterion = sgg_criterion if task == "sgg" else detection_criterion
 
-    def loss_fn(params, pixel_values, pixel_mask, labels, rng):
+    def loss_fn(params, pixel_values, pixel_mask, labels, rng, valid=None):
         drop_key, samp_key = jax.random.split(rng)
         out = model.apply(params, pixel_values, pixel_mask,
                           deterministic=False, rngs={"dropout": drop_key})
         if task == "sgg":
             total, losses = criterion(out, labels, cfg, train=True,
-                                      rng=samp_key)
+                                      rng=samp_key, valid=valid)
             # per-layer mean gate values logged as pseudo-losses
             # (egtr.py:496-505)
             for i in range(cfg.decoder_layers + 1):
                 losses[f"rel_gate_{i}"] = out["rel_gate_mean"][i]
         else:
-            total, losses = criterion(out, labels, cfg)
+            total, losses = criterion(out, labels, cfg, valid=valid)
         return total, losses
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
@@ -91,7 +91,7 @@ def make_train_step(model, cfg: EgtrConfig, tx,
         (``state, m = train_step(state, ...)``) — all ours do."""
         (total, losses), grads = grad_fn(
             state.params, batch["pixel_values"], batch["pixel_mask"],
-            batch["labels"], rng)
+            batch["labels"], rng, batch.get("valid"))
         return _update(state, grads, total, losses, lr_scale)
 
     if accum_steps == 1:
@@ -100,7 +100,8 @@ def make_train_step(model, cfg: EgtrConfig, tx,
     @jax.jit
     def _grads_mb(params, mb, rng):
         (total, losses), grads = grad_fn(
-            params, mb["pixel_values"], mb["pixel_mask"], mb["labels"], rng)
+            params, mb["pixel_values"], mb["pixel_mask"], mb["labels"], rng,
+            mb.get("valid"))
         return grads, total, losses
 
     @functools.partial(jax.jit, donate_argnums=(0,))
@@ -133,6 +134,11 @@ def make_train_step(model, cfg: EgtrConfig, tx,
             acc = _acc_add(acc, _grads_mb(state.params, mbs[a], rngs[a]))
         return _apply(state, acc, lr_scale)
 
+    # expose the inner compiled programs so probes/tools can lower and
+    # inspect them (the accumulated step itself is a plain Python loop)
+    train_step.grads_mb = _grads_mb
+    train_step.acc_add = _acc_add
+    train_step.apply_grads = _apply
     return train_step
 
 
@@ -146,34 +152,46 @@ def split_microbatches(batch, accum_steps: int):
     ``accum_steps`` the per-host pieces of global microbatch ``a`` remain
     contiguous and in host order — exactly the layout
     ``jax.make_array_from_process_local_data`` expects (parallel/mesh.py).
+
+    EVERY key of the batch is split (each value must be a [B, ...] array
+    or a pytree of them, like ``labels``): silently dropping unknown keys
+    would strip e.g. the ``valid`` mask from an accumulated masked step.
+    Non-batched values are rejected rather than passed through ambiguously.
     """
     def sp(a, x):
-        if x.shape[0] % accum_steps:
+        if getattr(x, "ndim", 0) == 0 or x.shape[0] % accum_steps:
             raise ValueError(
-                f"batch rows {x.shape[0]} not divisible by accumulation "
-                f"depth {accum_steps}")
+                f"batch leaf with shape {getattr(x, 'shape', None)} cannot "
+                f"be split into {accum_steps} microbatches (leading axis "
+                "must exist and divide by the accumulation depth)")
         return x[a::accum_steps]
 
     return [
-        {"pixel_values": sp(a, batch["pixel_values"]),
-         "pixel_mask": sp(a, batch["pixel_mask"]),
-         "labels": jax.tree.map(lambda x: sp(a, x), batch["labels"])}
+        {k: jax.tree.map(lambda x: sp(a, x), val)
+         for k, val in batch.items()}
         for a in range(accum_steps)
     ]
 
 
 def make_eval_step(model, cfg: EgtrConfig, task: str = "sgg") -> Callable:
-    """eval_step(params, batch) -> (outputs, losses) without sampling."""
+    """eval_step(params, batch) -> (outputs, losses) without sampling.
+
+    ``batch["valid"]`` (when present) masks the padded tail rows the
+    loader appends to keep eval shapes static — the validation loss that
+    drives best-checkpoint selection and early stopping is computed over
+    real images only."""
 
     @jax.jit
     def eval_step(params, batch):
         out = model.apply(params, batch["pixel_values"], batch["pixel_mask"],
                           deterministic=True)
+        valid = batch.get("valid")
         if task == "sgg":
             total, losses = sgg_criterion(out, batch["labels"], cfg,
-                                          train=False)
+                                          train=False, valid=valid)
         else:
-            total, losses = detection_criterion(out, batch["labels"], cfg)
+            total, losses = detection_criterion(out, batch["labels"], cfg,
+                                                valid=valid)
         losses["total_loss"] = total
         return out, losses
 

@@ -68,11 +68,16 @@ def fit(model, cfg: EgtrConfig, *, train_loader, val_loader, log_dir: str,
         grad_clip: float = 0.1, max_epochs: int = 50, patience: int = 15,
         accum_steps: int = 1, init_params=None, mesh=None, seed: int = 42,
         log_every: int = 50, lr_scale: float = 1.0,
-        precompile: bool = False) -> TrainState:
-    """Run one training phase; returns the final state (best ckpt on disk)."""
+        precompile: bool = False, initialized_paths=None) -> TrainState:
+    """Run one training phase; returns the final state (best ckpt on disk).
+
+    ``initialized_paths``: freshly-initialized param paths from
+    ``merge_pretrained`` — they form the ``lr_initialized`` optimizer
+    group (reference train_egtr.py:426-467); None keeps the legacy
+    relation-head heuristic (see optim.param_label)."""
     logger = MetricLogger(log_dir)
     tx = make_optimizer(lr, lr_backbone, lr_initialized, weight_decay,
-                        grad_clip)
+                        grad_clip, initialized_paths=initialized_paths)
     ckpt = CheckpointManager(os.path.join(log_dir, "checkpoints"))
 
     train_step = make_train_step(model, cfg, tx, task=task,
@@ -147,6 +152,11 @@ def fit(model, cfg: EgtrConfig, *, train_loader, val_loader, log_dir: str,
                     lambda s: jax.numpy.zeros(s.shape, s.dtype), param_specs)
                 eval_step(zeros, b)
             except Exception as e:  # warming must never kill training
+                # logged to the metrics stream, not just stdout: a typo'd
+                # eval path silently reverting to serial compile should be
+                # visible in the training record
+                logger.log({"phase": "warn",
+                            "message": f"precompile warm failed: {e}"})
                 print(f"[trainer] precompile warm failed: {e}")
 
         threading.Thread(target=_warm_eval, daemon=True).start()

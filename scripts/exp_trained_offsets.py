@@ -1,0 +1,346 @@
+#!/usr/bin/env python
+"""Trained-offsets windowed-MSDA accuracy experiment (ROADMAP round 4;
+VERDICT r3 next-step #2).
+
+Released VG checkpoints are unavailable in this container, so the windowed
+(banded) MSDA approximation has only been accuracy-checked against the
+DIRECTIONAL INIT of the sampling offsets. This experiment closes that gap
+as far as synthetic data allows:
+
+  1. ``train``: fit the full EGTR model from scratch on the learnable
+     synthetic VG set (scripts/make_synth_vg.py) at the FPS-protocol shape
+     (600x1000 -> one 608x1008 bucket, ONE compiled train program), long
+     enough for the encoder sampling offsets to move well off their init.
+  2. ``sweep``: on the trained params, (a) histogram the actual encoder
+     sampling offsets in level pixels (what band height must contain),
+     (b) evaluate exact vs win16 vs win32 on the synthetic test split:
+     R@k deltas + raw pred_rel / logits deltas.
+
+Outputs JSON records to --out for the ROADMAP table.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def _model_kw(args):
+    if not args.tiny:  # full EGTR architecture
+        return {}
+    # --tiny: CPU smoke-test scale for validating the script end-to-end
+    return dict(d_model=64, encoder_layers=2, decoder_layers=2,
+                encoder_ffn_dim=64, decoder_ffn_dim=64, num_queries=16)
+
+
+def _bucket(args):
+    return ((-(-args.size // 16) * 16, -(-args.max_size // 16) * 16),)
+
+
+def build(args):
+    import jax
+    import jax.numpy as jnp
+
+    from egtr_tpu.config import EgtrConfig
+    from egtr_tpu.data.loader import Loader
+    from egtr_tpu.data.visual_genome import VGDataset, vg_get_statistics
+    from egtr_tpu.models.egtr import EgtrModel, compute_freq_dists
+
+    train_ds = VGDataset(args.data_path, "train", size=args.size,
+                         max_size=args.max_size)
+    num_rel = len(train_ds.rel_categories)
+    cfg = EgtrConfig(
+        num_labels=train_ds.num_classes(), num_rel_labels=num_rel,
+        compute_dtype="bfloat16", max_gt_boxes=16, max_gt_rels=64,
+        msda_window=args.window, **(_model_kw(args) or {"num_queries": 200}))
+    loader = Loader(train_ds, args.batch, shuffle=True, drop_last=True,
+                    max_gt=cfg.max_gt_boxes, num_rel_labels=num_rel,
+                    buckets=_bucket(args), num_workers=2)
+    model = EgtrModel(cfg)
+    fg = vg_get_statistics(train_ds)
+    return cfg, model, loader, fg, train_ds
+
+
+def cmd_train(args):
+    import jax
+    import jax.numpy as jnp
+
+    from egtr_tpu.models.egtr import compute_freq_dists
+    from egtr_tpu.train.checkpoint import save_pretrained
+    from egtr_tpu.train.optim import make_optimizer
+    from egtr_tpu.train.train_step import create_state, make_train_step
+
+    cfg, model, loader, fg, _ = build(args)
+    rng = jax.random.PRNGKey(args.seed)
+    rng, init_key = jax.random.split(rng)
+    h, w = loader.init_shape
+    params = jax.jit(model.init)(
+        init_key, jnp.zeros((1, h, w, 3), jnp.float32))
+    rel_dist, triplet_dist = compute_freq_dists(fg, cfg.freq_bias_eps,
+                                                cfg.use_log_softmax)
+    params["params"]["rel_dist"] = rel_dist
+    params["params"]["triplet_dist"] = triplet_dist
+
+    # accelerated from-scratch recipe: offsets sit in the "backbone" LR
+    # group (optim.param_label), so lr_backbone controls how fast they
+    # move; flat-ish high LRs are deliberate — the goal is offsets FAR
+    # from init (a pessimistic spread for the window), not SOTA fitting
+    tx = make_optimizer(lr=args.lr, lr_backbone=args.lr_backbone,
+                        lr_initialized=None, initialized_paths=[])
+    state = create_state(params, tx)
+    step_fn = make_train_step(model, cfg, tx, task="sgg")
+
+    t0 = time.time()
+    step = 0
+    log = open(os.path.join(args.out, "train_log.jsonl"), "a")
+    while time.time() - t0 < args.train_seconds:
+        for batch in loader:
+            rng, k = jax.random.split(rng)
+            state, metrics = step_fn(state, batch, k)
+            step += 1
+            if step % 50 == 0:
+                m = {k_: float(v) for k_, v in metrics.items()}
+                rec = {"step": step, "sec": round(time.time() - t0, 1),
+                       "total_loss": m["total_loss"],
+                       "loss_rel": m.get("loss_rel"),
+                       "loss_ce": m.get("loss_ce"),
+                       "loss_bbox": m.get("loss_bbox")}
+                log.write(json.dumps(rec) + "\n")
+                log.flush()
+                print(rec, flush=True)
+            if step % args.ckpt_every == 0:
+                save_pretrained(os.path.join(args.out, "artifact"), cfg,
+                                state.params)
+            if time.time() - t0 >= args.train_seconds:
+                break
+    save_pretrained(os.path.join(args.out, "artifact"), cfg, state.params)
+    print(f"[exp] trained {step} steps in {time.time()-t0:.0f}s; "
+          f"artifact at {args.out}/artifact", flush=True)
+
+
+def _offset_stats(model, cfg, params, batch):
+    """Histogram the ENCODER sampling offsets (raw Dense outputs are in
+    level pixels — deformable_detr.py:1066-1073 normalizes by (w, h))."""
+    import jax
+    import jax.numpy as jnp
+
+    def filt(mdl, _method):
+        return getattr(mdl, "name", None) == "sampling_offsets"
+
+    _, inter = model.apply(
+        params, jnp.asarray(batch["pixel_values"]),
+        jnp.asarray(batch["pixel_mask"]), deterministic=True,
+        capture_intermediates=filt, mutable=["intermediates"])
+    flat = jax.tree_util.tree_flatten_with_path(inter)[0]
+    H, L, P = (cfg.encoder_attention_heads, cfg.num_feature_levels,
+               cfg.encoder_n_points)
+    stats = {}
+    enc_all = []
+    for path, v in flat:
+        name = "/".join(str(getattr(p, "key", p)) for p in path)
+        if "encoder" not in name:
+            continue
+        off = np.asarray(v).reshape(v.shape[0], v.shape[1], H, L, P, 2)
+        enc_all.append(off)
+    if enc_all:
+        off = np.abs(np.concatenate(enc_all, axis=1))
+        for axis, nm in ((0, "x"), (1, "y")):
+            a = off[..., axis].ravel()
+            stats[f"enc_|{nm}|_p50"] = float(np.percentile(a, 50))
+            stats[f"enc_|{nm}|_p90"] = float(np.percentile(a, 90))
+            stats[f"enc_|{nm}|_p99"] = float(np.percentile(a, 99))
+            stats[f"enc_|{nm}|_max"] = float(a.max())
+        # fraction of y-offsets a half-band of win/2 contains
+        ay = off[..., 1].ravel()
+        for win in (16, 32):
+            stats[f"enc_y_within_{win//2}px"] = float(
+                (ay <= win / 2).mean())
+    return stats
+
+
+def _sweep_eval(model, cfg, params, ds, batch_size, buckets):
+    """One compiled program per window: raw heads + device-side top-k
+    postprocess together (avoids a second full-model compile per window
+    — axon-tunnel compiles are minutes each). Returns (recall metrics,
+    raw outputs of the first batch)."""
+    import jax
+    import jax.numpy as jnp
+
+    from egtr_tpu.data.loader import Loader
+    from egtr_tpu.evaluation.postprocess import (rescale_boxes_np,
+                                                 sgg_postprocess)
+    from egtr_tpu.evaluation.sg_eval import (SceneGraphEvaluator,
+                                             evaluate_mean_recall)
+
+    @jax.jit
+    def infer(params, pv, pm):
+        out = model.apply(params, pv, pm, deterministic=True)
+        post = sgg_postprocess(
+            out["logits"], out["pred_boxes"], out["pred_rel"],
+            out["pred_connectivity"], num_labels=cfg.num_labels, top_k=100)
+        post["raw"] = {k: out[k] for k in (
+            "logits", "pred_boxes", "pred_rel", "pred_connectivity")}
+        return post
+
+    loader = Loader(ds, batch_size, shuffle=False, max_gt=cfg.max_gt_boxes,
+                    num_rel_labels=cfg.num_rel_labels,
+                    buckets=buckets, num_workers=2)
+    single = SceneGraphEvaluator(multiple_preds=False)
+    per_pred = {n: SceneGraphEvaluator(multiple_preds=False)
+                for n in ds.rel_categories}
+    raw0 = None
+    for bi, batch in enumerate(loader):
+        post = infer(params, jnp.asarray(batch["pixel_values"]),
+                     jnp.asarray(batch["pixel_mask"]))
+        post = jax.tree.map(np.asarray, post)
+        if bi == 0:
+            raw0 = post["raw"]
+        for j in range(batch["pixel_values"].shape[0]):
+            if "valid" in batch and not batch["valid"][j]:
+                continue
+            n_gt = int(batch["labels"]["num_boxes"][j])
+            if n_gt == 0:
+                continue
+            rel_dense = batch["labels"]["rel"][j, :n_gt, :n_gt]
+            gt_rels = np.argwhere(rel_dense > 0)
+            if len(gt_rels) == 0:
+                continue
+            orig_hw = batch["orig_size"][j]
+            gt_entry = {
+                "gt_relations": gt_rels,
+                "gt_boxes": rescale_boxes_np(
+                    batch["labels"]["boxes"][j, :n_gt], orig_hw),
+                "gt_classes": batch["labels"]["class_labels"][j, :n_gt],
+            }
+            entry = {
+                "pred_boxes": rescale_boxes_np(post["pred_boxes"][j],
+                                               orig_hw),
+                "pred_classes": post["pred_classes"][j],
+                "obj_scores": post["obj_scores"][j],
+                "pred_rel_inds": post["single_inds"][j],
+                "rel_scores": post["single_rel_vec"][j],
+            }
+            single.evaluate_entry(gt_entry, entry)
+            for pred_id, name in enumerate(ds.rel_categories):
+                mask = gt_rels[:, 2] == pred_id
+                if not mask.any():
+                    continue
+                sub_gt = dict(gt_entry)
+                sub_gt["gt_relations"] = gt_rels[mask]
+                per_pred[name].evaluate_entry(sub_gt, entry)
+    metrics = dict(single.aggregate())
+    metrics.update(evaluate_mean_recall(
+        {n: e.aggregate() for n, e in per_pred.items()},
+        len(ds.rel_categories)))
+    return metrics, raw0
+
+
+def cmd_sweep(args):
+    from egtr_tpu.data.visual_genome import VGDataset
+    from egtr_tpu.data.loader import Loader
+    from egtr_tpu.models.egtr import EgtrModel
+    from egtr_tpu.train.checkpoint import load_pretrained
+
+    cfg, params = load_pretrained(os.path.join(args.out, "artifact"))
+    cfg = cfg.replace(dropout=0.0)
+    if args.tiny:
+        cfg = cfg.replace(**_model_kw(args))
+    test_ds = VGDataset(args.data_path, "test", size=args.size,
+                        max_size=args.max_size)
+
+    report = {}
+    off_path = os.path.join(args.out, "offset_stats.json")
+    if os.path.exists(off_path):  # produced by the CPU `offsets` run
+        report["offsets"] = json.load(open(off_path))
+
+    raws = {}
+    for win in (0, 16, 32):
+        c = cfg.replace(msda_window=win)
+        t0 = time.time()
+        metrics, raws[win] = _sweep_eval(EgtrModel(c), c, params, test_ds,
+                                         args.batch, _bucket(args))
+        report[f"win{win}"] = {
+            **{k: metrics.get(k) for k in
+               ("R@20", "R@50", "R@100", "mR@20", "mR@50", "mR@100")},
+            "compile_plus_eval_sec": round(time.time() - t0, 1),
+        }
+        print(f"[exp] win={win}: {report[f'win{win}']}", flush=True)
+
+    for win in (16, 32):
+        deltas = {}
+        for k in raws[0]:
+            d = np.abs(raws[win][k].astype(np.float64)
+                       - raws[0][k].astype(np.float64))
+            scale = float(np.abs(raws[0][k]).max()) or 1.0
+            deltas[k] = {"max_abs": float(d.max()),
+                         "mean_abs": float(d.mean()),
+                         "max_rel_of_scale": float(d.max() / scale)}
+        report[f"win{win}_vs_exact_outputs"] = deltas
+
+    path = os.path.join(args.out, "window_sweep.json")
+    with open(path, "w") as f:
+        json.dump(report, f, indent=2)
+    print(f"[exp] report written to {path}", flush=True)
+
+
+def cmd_offsets(args):
+    """Offset histogram on CPU (run with JAX_PLATFORMS=cpu: an unjitted
+    capture-intermediates forward over the axon tunnel would dispatch
+    op-by-op, and jitting it would cost a fourth full-model compile)."""
+    from egtr_tpu.data.loader import Loader
+    from egtr_tpu.data.visual_genome import VGDataset
+    from egtr_tpu.models.egtr import EgtrModel
+    from egtr_tpu.train.checkpoint import load_pretrained
+
+    cfg, params = load_pretrained(os.path.join(args.out, "artifact"))
+    cfg = cfg.replace(dropout=0.0, msda_window=0, msda_impl="gather")
+    test_ds = VGDataset(args.data_path, "test", size=args.size,
+                        max_size=args.max_size)
+    batch0 = next(iter(Loader(
+        test_ds, min(args.batch, 2), shuffle=False, max_gt=cfg.max_gt_boxes,
+        num_rel_labels=cfg.num_rel_labels, buckets=_bucket(args),
+        num_workers=2)))
+    stats = _offset_stats(EgtrModel(cfg), cfg, params, batch0)
+    path = os.path.join(args.out, "offset_stats.json")
+    with open(path, "w") as f:
+        json.dump(stats, f, indent=2)
+    print("[exp] offset stats:", stats, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("cmd", choices=["train", "sweep", "offsets"])
+    ap.add_argument("--data_path", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--lr", type=float, default=1e-4)
+    ap.add_argument("--lr_backbone", type=float, default=5e-5)
+    ap.add_argument("--window", type=int, default=0,
+                    help="training-time msda_window (0 = exact)")
+    ap.add_argument("--train_seconds", type=int, default=3600 * 3)
+    ap.add_argument("--ckpt_every", type=int, default=500)
+    ap.add_argument("--size", type=int, default=600)
+    ap.add_argument("--max_size", type=int, default=1000)
+    ap.add_argument("--tiny", action="store_true",
+                    help="shrunken model + shapes for CPU smoke tests")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+    os.makedirs(args.out, exist_ok=True)
+
+    from egtr_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+    if args.cmd == "train":
+        cmd_train(args)
+    elif args.cmd == "offsets":
+        cmd_offsets(args)
+    else:
+        cmd_sweep(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -76,31 +76,54 @@ def main():
     state = create_state(params, tx)
     step = make_train_step(model, cfg, tx, task="sgg",
                            accum_steps=args.accum)
-    if not args.donate:
-        step = jax.jit(step.__wrapped__)  # re-jit without donate_argnums
 
     print(f"variant: B={args.batch} accum={args.accum} remat={args.remat} "
           f"donate={args.donate} plain_stem={args.plain_stem} "
           f"labels={args.labels}", flush=True)
-    lowered = step.lower(state, batch, jax.random.PRNGKey(1))
-    try:
-        compiled = lowered.compile()
-    except Exception as e:
-        msg = str(e)
-        idx = msg.find("Ran out of memory")
-        print("COMPILE OOM:" if idx >= 0 else "COMPILE ERROR:",
-              msg[idx:idx + 200] if idx >= 0 else msg[:400])
-        return
-    ma = compiled.memory_analysis()
-    if ma is None:
-        print("memory_analysis unavailable")
-        return
+
+    if args.accum > 1:
+        # the accumulated step is a Python loop over three inner programs
+        # (train_step.py): probe the grad microbatch program and the
+        # donated apply program — their max is the step's live peak
+        from egtr_tpu.train.train_step import split_microbatches
+        mb = split_microbatches(batch, args.accum)[0]
+        grads_mb = step.grads_mb
+        apply_fn = step.apply_grads if args.donate \
+            else jax.jit(step.apply_grads.__wrapped__)
+        acc_aval = jax.eval_shape(grads_mb, state.params, mb,
+                                  jax.random.PRNGKey(1))
+        acc = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), acc_aval)
+        programs = [
+            ("grads_mb", grads_mb, (state.params, mb, jax.random.PRNGKey(1))),
+            ("apply", apply_fn, (state, acc)),
+        ]
+    else:
+        step_fn = step if args.donate \
+            else jax.jit(step.__wrapped__)  # re-jit without donate_argnums
+        programs = [("step", step_fn,
+                     (state, batch, jax.random.PRNGKey(1)))]
+
     gb = 1 / (1 << 30)
-    print(f"temp={ma.temp_size_in_bytes*gb:.2f}G "
-          f"args={ma.argument_size_in_bytes*gb:.2f}G "
-          f"out={ma.output_size_in_bytes*gb:.2f}G "
-          f"alias={ma.alias_size_in_bytes*gb:.2f}G "
-          f"code={ma.generated_code_size_in_bytes*gb:.3f}G")
+    for name, fn, fn_args in programs:
+        lowered = fn.lower(*fn_args)
+        try:
+            compiled = lowered.compile()
+        except Exception as e:
+            msg = str(e)
+            idx = msg.find("Ran out of memory")
+            print(f"{name}: COMPILE OOM:" if idx >= 0
+                  else f"{name}: COMPILE ERROR:",
+                  msg[idx:idx + 200] if idx >= 0 else msg[:400])
+            continue
+        ma = compiled.memory_analysis()
+        if ma is None:
+            print(f"{name}: memory_analysis unavailable")
+            continue
+        print(f"{name}: temp={ma.temp_size_in_bytes*gb:.2f}G "
+              f"args={ma.argument_size_in_bytes*gb:.2f}G "
+              f"out={ma.output_size_in_bytes*gb:.2f}G "
+              f"alias={ma.alias_size_in_bytes*gb:.2f}G "
+              f"code={ma.generated_code_size_in_bytes*gb:.3f}G")
 
 
 if __name__ == "__main__":

@@ -171,6 +171,10 @@ def main():
     init_params["params"]["rel_dist"] = rel_dist
     init_params["params"]["triplet_dist"] = triplet_dist
 
+    # the lr_initialized optimizer group is exactly the set of freshly
+    # initialized paths from the pretrained merge (reference
+    # train_egtr.py:263-272,426-467); from scratch there is no such group
+    initialized = []
     if args.pretrained:
         _, loaded = load_pretrained(args.pretrained)
         init_params, initialized = merge_pretrained(init_params, loaded)
@@ -187,7 +191,7 @@ def main():
         max_epochs_finetune=args.max_epochs_finetune,
         patience=args.patience, accum_steps=args.accumulate,
         init_params=init_params, mesh=mesh, seed=args.seed, task="sgg",
-        precompile=args.precompile)
+        precompile=args.precompile, initialized_paths=initialized)
 
     save_pretrained(os.path.join(args.output_path, "artifact"), cfg,
                     state.params)

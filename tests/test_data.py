@@ -292,3 +292,27 @@ def test_dummy_batch_structure_matches_real_batch(vg_dir):
         assert pa == pb
         assert a.shape == b.shape, (pa, a.shape, b.shape)
         assert a.dtype == b.dtype, (pa, a.dtype, b.dtype)
+
+
+def test_loader_pads_partial_tail_single_process(vg_dir):
+    """VERDICT r3 weak#4: a trailing partial batch is padded (not shrunk)
+    even single-process, so every batch of a bucket compiles to ONE eval
+    program shape; pad rows duplicate the last index and carry
+    valid=False."""
+    ds = VGDataset(vg_dir, "train", size=128, max_size=256)  # 4 images
+    loader = Loader(ds, batch_size=3, shuffle=False, max_gt=6,
+                    num_rel_labels=4, buckets=((144, 256),), prefetch=0)
+    batches = list(loader)
+    assert len(batches) == 2
+    shapes = {b["pixel_values"].shape for b in batches}
+    assert shapes == {(3, 144, 256, 3)}  # one compiled shape
+    assert batches[0]["valid"].tolist() == [True, True, True]
+    assert batches[1]["valid"].tolist() == [True, False, False]
+    # pad rows are duplicates of the last real image
+    ids = batches[1]["image_id"]
+    assert ids[1] == ids[0] and ids[2] == ids[0]
+    # drop_last still drops the partial tail entirely
+    dropped = list(Loader(ds, batch_size=3, shuffle=False, max_gt=6,
+                          num_rel_labels=4, buckets=((144, 256),),
+                          prefetch=0, drop_last=True))
+    assert len(dropped) == 1

@@ -421,3 +421,44 @@ def test_coco_map_matches_cocoeval_transcription(seed):
     for k in expected:
         np.testing.assert_allclose(got[k], expected[k], atol=1e-10,
                                    err_msg=k)
+
+
+def test_multiple_preds_mean_recall_hand_computed():
+    """Unconstrained (multiple-preds) mean recall, wired the way
+    evaluation.runner builds it (reference train_egtr.py:112-121 +
+    sg_eval.py:331-372): per-predicate evaluators see only that
+    predicate's gt rows; mR sums per-predicate recalls and divides by
+    ALL predicates (NaN rows skipped in the sum only)."""
+    from egtr_tpu.evaluation.sg_eval import evaluate_mean_recall
+
+    rel_categories = ["a", "b", "c", "d"]
+    gt_boxes = np.array([[0, 0, 50, 50], [100, 100, 160, 160],
+                         [30, 30, 90, 90]], float)
+    gt_classes = np.array([2, 5, 7])
+    # predicate 0 on (1,2); predicate 1 on (0,1)
+    gt_rels = np.array([[1, 2, 0], [0, 1, 1]])
+    pred_entry = {
+        "pred_boxes": gt_boxes,
+        "pred_classes": gt_classes,
+        "obj_scores": np.ones(3),
+        # hits predicate 0's triple, misses predicate 1's
+        "pred_rel_inds": np.array([[1, 2, 0], [0, 1, 3], [0, 2, 2]]),
+        "rel_scores": np.array([0.9, 0.8, 0.1]),
+    }
+    per_pred = {n: SceneGraphEvaluator(multiple_preds=True)
+                for n in rel_categories}
+    for pred_id, name in enumerate(rel_categories):
+        mask = gt_rels[:, 2] == pred_id
+        if not mask.any():
+            continue
+        per_pred[name].evaluate_entry(
+            {"gt_relations": gt_rels[mask], "gt_boxes": gt_boxes,
+             "gt_classes": gt_classes}, pred_entry)
+    agg = {n: e.aggregate() for n, e in per_pred.items()}
+    assert agg["a"]["R@20"] == 1.0       # predicate 0 recalled
+    assert agg["b"]["R@20"] == 0.0       # predicate 1 missed
+    assert np.isnan(agg["c"].get("R@100", float("nan")))  # no gt -> NaN
+    mr = evaluate_mean_recall(agg, len(rel_categories))
+    # (1.0 + 0.0) / 4 predicates — NaN rows skipped in the sum, not the
+    # denominator
+    assert mr["mR@20"] == 0.25 and mr["mR@50"] == 0.25 and mr["mR@100"] == 0.25

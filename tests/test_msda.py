@@ -464,3 +464,29 @@ def test_msda_windowed_banded_bwd_multitile(rng):
     for a, b in zip(gp, gm):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-3, rtol=1e-3)
+
+
+def test_pallas_batched_p_forward_matches_p_loop():
+    """The opt-in batched-P stage-1 dispatch (EGTR_MSDA_BATCH_P=1 — a
+    measured NEGATIVE perf result, kept probe-able) must be numerically
+    identical to the default p-loop forward: same dots, same f32
+    accumulation per point."""
+    from egtr_tpu.ops import msda_pallas as mp
+
+    rng = np.random.default_rng(7)
+    shapes = ((12, 20), (6, 10))
+    S = sum(h * w for h, w in shapes)
+    B, Q, H, D, L, P = 2, 40, 2, 8, 2, 4
+    value = jnp.asarray(rng.standard_normal((B, S, H, D)), jnp.float32)
+    loc = jnp.asarray(rng.uniform(-0.1, 1.1, (B, Q, H, L, P, 2)), jnp.float32)
+    aw = jnp.asarray(rng.uniform(0, 1, (B, Q, H, L, P)), jnp.float32)
+
+    old = mp.FWD_BATCH_P
+    try:
+        mp.FWD_BATCH_P = False
+        ref = np.asarray(mp.msda_pallas(value, shapes, loc, aw))
+        mp.FWD_BATCH_P = True
+        out = np.asarray(mp.msda_pallas(value, shapes, loc, aw))
+    finally:
+        mp.FWD_BATCH_P = old
+    np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-6)

@@ -86,18 +86,20 @@ def test_two_process_global_batch_assembly(tmp_path):
                  num_rel_labels=4, buckets=((48, 64),), seed=11, prefetch=0)
     ref_batches = list(ref)
     got = results[0]["batches"]
-    # 10 samples / batch 4 -> 2 full + 1 partial(2): multi-host pads the
-    # partial to 4 with valid=[1,1,0,0]; single-host keeps it at 2
+    # 10 samples / batch 4 -> 2 full + 1 partial(2): the partial tail is
+    # padded to 4 with valid=[1,1,0,0] on BOTH single- and multi-host
+    # loaders (round 4: unconditional padding keeps eval shapes static)
     assert len(got) == len(ref_batches) == 3
     for k, (g, r) in enumerate(zip(got, ref_batches)):
         nv = int(np.sum(g["valid"]))
-        assert g["image_id"][:nv] == r["image_id"].tolist()
+        assert g["valid"] == r["valid"].tolist()
+        assert g["image_id"][:nv] == r["image_id"][:nv].tolist()
+        # bit-exact pixel/label content, not just ids
+        assert g["pixel_sha"] == _sha(r["pixel_values"])
+        assert g["labels_sha"] == _sha(r["labels"]["class_labels"])
+        assert g["boxes_sha"] == _sha(r["labels"]["boxes"])
         if k < 2:
             assert g["valid"] == [True] * 4
-            # bit-exact pixel/label content, not just ids
-            assert g["pixel_sha"] == _sha(r["pixel_values"])
-            assert g["labels_sha"] == _sha(r["labels"]["class_labels"])
-            assert g["boxes_sha"] == _sha(r["labels"]["boxes"])
         else:
             assert g["valid"] == [True, True, False, False]
             # pad rows repeat the last valid image

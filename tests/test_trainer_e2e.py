@@ -103,9 +103,13 @@ def test_end_of_training_eval_writes_metrics_json(tmp_path):
 
     metrics = evaluate_sgg(model, TINY, params, loader,
                            rel_categories=["a", "b", "c", "d"],
-                           coco_eval=True)
+                           coco_eval=True, eval_multiple_preds=True)
     assert any(k.startswith("single/R@") for k in metrics), metrics
     assert any(k.startswith("single/mR@") for k in metrics), metrics
+    # the reference computes mR for the unconstrained evaluator list too
+    # (train_egtr.py:112-121,410-417) — the paper reports this number
+    assert any(k.startswith("multiple/R@") for k in metrics), metrics
+    assert all(f"multiple/mR@{k}" in metrics for k in (20, 50, 100)), metrics
     assert any(k.startswith("coco/") for k in metrics), metrics
 
     out = str(tmp_path / "metrics_test.json")
