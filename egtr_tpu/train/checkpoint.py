@@ -70,7 +70,10 @@ def save_pretrained(directory: str, cfg: EgtrConfig, params: Any) -> None:
 
 def load_pretrained(directory: str, params_template: Any = None):
     """Returns (cfg, params). With a template, restores exact structure;
-    without, restores as raw pytree."""
+    without, rebuilds a template from the checkpoint's own metadata with
+    the DEFAULT LOCAL device — a raw restore would replay the shardings
+    recorded at save time, so an artifact written on the TPU backend
+    could never be opened in a CPU process (and vice versa)."""
     cfg = EgtrConfig.load(os.path.join(directory, "config.json"))
     ckptr = ocp.StandardCheckpointer()
     path = os.path.join(os.path.abspath(directory), "params")
@@ -78,7 +81,15 @@ def load_pretrained(directory: str, params_template: Any = None):
         params = ckptr.restore(path, args=ocp.args.StandardRestore(
             params_template))
     else:
-        params = ckptr.restore(path)
+        from jax.sharding import SingleDeviceSharding
+
+        meta = ckptr.metadata(path).item_metadata
+        dev = jax.local_devices()[0]
+        template = jax.tree.map(
+            lambda m: jax.ShapeDtypeStruct(
+                m.shape, m.dtype, sharding=SingleDeviceSharding(dev)),
+            meta)
+        params = ckptr.restore(path, template)
     return cfg, params
 
 

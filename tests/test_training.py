@@ -387,3 +387,26 @@ def test_config_validation():
     with pytest.raises(ValueError):
         EgtrConfig(position_embedding_type="rotary")
     EgtrConfig(remat_policy="dots", msda_impl="matmul")  # valid combos ok
+
+
+def test_save_load_pretrained_roundtrip(tmp_path):
+    """load_pretrained without a template rebuilds one from checkpoint
+    metadata with the DEFAULT LOCAL device (round 4: a raw restore
+    replayed save-time shardings, so a TPU-written artifact could not be
+    opened by a CPU process)."""
+    from egtr_tpu.train.checkpoint import load_pretrained, save_pretrained
+
+    params = {"params": {"a": {"kernel": jnp.arange(6, dtype=jnp.float32)
+                               .reshape(2, 3)},
+                         "b": jnp.ones((4,), jnp.bfloat16)}}
+    save_pretrained(str(tmp_path / "art"), TINY, params)
+    cfg, loaded = load_pretrained(str(tmp_path / "art"))
+    assert cfg == TINY
+    assert jax.tree_util.tree_structure(loaded) == \
+        jax.tree_util.tree_structure(params)
+    np.testing.assert_array_equal(np.asarray(loaded["params"]["a"]["kernel"]),
+                                  np.arange(6).reshape(2, 3))
+    assert loaded["params"]["b"].dtype == jnp.bfloat16
+    # the restored arrays live on a local device (metadata template path)
+    dev = next(iter(jax.tree_util.tree_leaves(loaded)[0].devices()))
+    assert dev in jax.local_devices()
