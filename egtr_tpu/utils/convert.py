@@ -227,3 +227,27 @@ def convert_detr_state_dict(sd: Dict[str, np.ndarray],
         _set(p, ("triplet_dist",), sd["triplet_dist"])
 
     return {"params": p}
+
+
+def convert_backbone_state_dict(sd: Dict[str, np.ndarray],
+                                root: Tuple[str, ...] = ("model", "backbone")
+                                ) -> dict:
+    """Convert a RAW timm/torchvision ResNet-50 state dict (keys like
+    ``conv1.weight``, ``layer1.0.bn1.running_mean``) to a partial
+    ``{'params': {<root>: ...}}`` tree.
+
+    This is the reference's backbone bootstrap: both drivers load
+    ``{backbone_dirpath}/{backbone}.pt`` straight into ``model.backbone``
+    (reference train_egtr.py:255-260, pretrain_detr.py:72-74). ``root``
+    is ("model", "backbone") for the EGTR wrapper tree and ("backbone",)
+    for a bare DeformableDetrBase. Merge with a fresh init via
+    ``checkpoint.merge_pretrained``; from-scratch runs pass
+    ``initialized_paths=[]`` to the optimizer, matching the reference's
+    ``initialized_keys = []``."""
+    p: dict = {}
+    _convert_resnet(sd, p, "", tuple(root))
+    if not p:
+        raise ValueError(
+            "state dict contains no recognizable ResNet-50 keys "
+            "(expected raw timm/torchvision names like 'conv1.weight')")
+    return {"params": p}

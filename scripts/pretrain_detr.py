@@ -23,6 +23,10 @@ def parse_args():
                    default="visual_genome")
     p.add_argument("--output_path", required=True)
     p.add_argument("--num_queries", type=int, default=200)
+    p.add_argument("--backbone_dirpath", default=None,
+                   help="dir holding {backbone}.pt — a raw timm ResNet-50 "
+                        "state dict loaded into the backbone before "
+                        "pretraining (reference pretrain_detr.py:72-74)")
     p.add_argument("--auxiliary_loss", type=str2bool, default=True)
     p.add_argument("--ce_loss_coefficient", type=float, default=2.0)
     p.add_argument("--batch_size", type=int, default=4)
@@ -103,9 +107,34 @@ def main():
                         process_count=jax.process_count())
 
     model = DeformableDetrBase(cfg)
+
+    init_params = None
+    if args.backbone_dirpath:
+        # ImageNet backbone bootstrap (reference pretrain_detr.py:72-74)
+        import jax.numpy as jnp
+        import torch
+
+        from egtr_tpu.train.checkpoint import merge_pretrained
+        from egtr_tpu.utils.convert import convert_backbone_state_dict
+
+        sd = torch.load(os.path.join(args.backbone_dirpath,
+                                     f"{cfg.backbone}.pt"),
+                        map_location="cpu", weights_only=False)
+        sd = {k: (v.numpy() if hasattr(v, "numpy") else v)
+              for k, v in sd.items()}
+        h, w = train_loader.init_shape
+        init_params = jax.jit(model.init)(
+            jax.random.PRNGKey(args.seed),
+            jnp.zeros((1, h, w, 3), jnp.float32))
+        init_params, _ = merge_pretrained(
+            init_params, convert_backbone_state_dict(sd, root=("backbone",)))
+        print(f"[pretrain_detr] loaded backbone weights from "
+              f"{args.backbone_dirpath}")
+
     state = two_phase_fit(
         model, cfg, log_dir=args.output_path,
         train_loader=train_loader, val_loader=val_loader,
+        init_params=init_params,
         lr=args.lr, lr_backbone=args.lr_backbone, lr_initialized=None,
         weight_decay=args.weight_decay, grad_clip=args.gradient_clip_val,
         max_epochs=args.max_epochs,

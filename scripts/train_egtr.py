@@ -35,6 +35,11 @@ def parse_args():
     p.add_argument("--pretrained", default=None,
                    help="path to a save_pretrained detector artifact")
     p.add_argument("--from_scratch", type=str2bool, default=False)
+    p.add_argument("--backbone_dirpath", default=None,
+                   help="dir holding {backbone}.pt — a raw timm ResNet-50 "
+                        "state dict loaded into model.backbone when "
+                        "training from scratch (reference "
+                        "train_egtr.py:255-260)")
     p.add_argument("--num_queries", type=int, default=200)
     p.add_argument("--auxiliary_loss", type=str2bool, default=False)
     # loss coefficients (train_egtr.py:514-527)
@@ -175,7 +180,25 @@ def main():
     # initialized paths from the pretrained merge (reference
     # train_egtr.py:263-272,426-467); from scratch there is no such group
     initialized = []
-    if args.pretrained:
+    if args.from_scratch:
+        if args.backbone_dirpath:
+            # reference from_scratch bootstrap: raw timm ResNet-50 weights
+            # into model.backbone (train_egtr.py:255-260); everything else
+            # stays freshly initialized and initialized_keys stays []
+            import torch
+
+            from egtr_tpu.utils.convert import convert_backbone_state_dict
+
+            sd = torch.load(os.path.join(args.backbone_dirpath,
+                                         f"{cfg.backbone}.pt"),
+                            map_location="cpu", weights_only=False)
+            sd = {k: (v.numpy() if hasattr(v, "numpy") else v)
+                  for k, v in sd.items()}
+            init_params, _ = merge_pretrained(
+                init_params, convert_backbone_state_dict(sd))
+            print("[train_egtr] loaded backbone weights from "
+                  f"{args.backbone_dirpath}")
+    elif args.pretrained:
         _, loaded = load_pretrained(args.pretrained)
         init_params, initialized = merge_pretrained(init_params, loaded)
         print(f"[train_egtr] loaded pretrained detector; "

@@ -267,3 +267,40 @@ def test_reference_artifact_ingestion_dry_run(rng, tmp_path):
                       deterministic=True)
     assert np.isfinite(np.asarray(out["pred_boxes"])).all()
     assert out["pred_rel"].shape[-1] == 5
+
+
+def test_convert_backbone_state_dict_raw_timm_keys():
+    """--from_scratch backbone bootstrap: a RAW timm ResNet-50 state dict
+    (no wrapper prefix) maps into the backbone subtree with conv kernels
+    transposed OIHW->HWIO (reference loads {backbone_dirpath}/{backbone}.pt
+    straight into model.backbone, train_egtr.py:255-260)."""
+    import numpy as np
+
+    from egtr_tpu.utils.convert import convert_backbone_state_dict
+
+    rng = np.random.default_rng(0)
+    sd = {
+        "conv1.weight": rng.standard_normal((64, 3, 7, 7)).astype(np.float32),
+        "bn1.weight": np.ones(64, np.float32),
+        "bn1.running_mean": np.zeros(64, np.float32),
+        "layer1.0.conv2.weight": rng.standard_normal(
+            (64, 64, 3, 3)).astype(np.float32),
+        "layer1.0.downsample.1.running_var": np.ones(256, np.float32),
+        "layer4.2.bn3.bias": np.zeros(2048, np.float32),
+    }
+    tree = convert_backbone_state_dict(sd)
+    bb = tree["params"]["model"]["backbone"]
+    assert bb["conv1"]["kernel"].shape == (7, 7, 3, 64)
+    np.testing.assert_array_equal(
+        bb["conv1"]["kernel"], np.transpose(sd["conv1.weight"], (2, 3, 1, 0)))
+    assert bb["layer1_0"]["conv2"]["kernel"].shape == (3, 3, 64, 64)
+    assert bb["layer1_0"]["downsample_bn"]["running_var"].shape == (256,)
+    assert bb["layer4_2"]["bn3"]["bias"].shape == (2048,)
+    # bare-base root for pretrain_detr
+    tree2 = convert_backbone_state_dict(sd, root=("backbone",))
+    assert "conv1" in tree2["params"]["backbone"]
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        convert_backbone_state_dict({"unrelated.weight": np.zeros(3)})
