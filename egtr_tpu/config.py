@@ -130,6 +130,11 @@ class EgtrConfig:
             raise ValueError(
                 f"position_embedding_type must be 'sine' or 'learned', got "
                 f"{self.position_embedding_type!r}")
+        if self.msda_window < 0 or self.msda_window % 2:
+            raise ValueError(
+                "msda_window must be 0 (exact) or a positive even band "
+                f"height (band = 2 half-band blocks), got "
+                f"{self.msda_window}")
 
     @property
     def head_dim(self) -> int:

@@ -339,6 +339,9 @@ def ms_deform_attn(
     if window > 0 and query_segments is None:
         raise ValueError("windowed MSDA requires query_segments "
                          "(raster layout of the queries)")
+    if window % 2:
+        raise ValueError(f"windowed MSDA requires an even window (a band "
+                         f"is two half-band blocks), got {window}")
 
     if int8:
         if impl not in ("auto", "pallas"):

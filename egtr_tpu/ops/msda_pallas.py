@@ -51,9 +51,9 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .msda_window import (band_starts, fit_tile, segment_bounds,
-                          segment_cols, segment_rows, unsegment_cols,
-                          unsegment_rows, window_rows)
+from .msda_window import (band_starts, band_stride, fit_tile,
+                          segment_bounds, segment_cols, segment_rows,
+                          unsegment_cols, unsegment_rows, window_rows)
 
 # Set True to run kernels through the Pallas interpreter (CPU testing).
 INTERPRET = False
@@ -201,13 +201,50 @@ def _pt_rows(t, TQ: int):
             .reshape(B, H, T, 1, P * TQ))
 
 
-def _fwd_kernel_win(bidx_ref, ix_ref, iy_ref, aw_ref, vb_ref, out_ref, *,
-                    win, w, D, P, cdt):
+def _fwd_body_hb(ix_ref, iy_ref, aw_ref, vt, vb, out_ref, hb, w, D, P, cdt):
+    """Banded forward body over a band split into its two half-band
+    blocks ``vt``/``vb`` (each [hb*D, w]; band height win = 2*hb). Same
+    math as ``_fwd_body`` on the concatenated band — the stage-1 dot
+    splits over its non-contracted N axis, so the two half dots are
+    bit-identical to the single band dot and nothing is concatenated in
+    VMEM. iy is band-local ([0, 2*hb))."""
+    TQ = ix_ref.shape[3]
+    quant = vt.dtype == jnp.int8
+
+    xsub = lax.broadcasted_iota(jnp.int32, (w, TQ), 0).astype(jnp.float32)
+    ysub = lax.broadcasted_iota(jnp.int32, (2 * hb, TQ), 0).astype(
+        jnp.float32)
+
+    acc_t = jnp.zeros((hb, D, TQ), jnp.float32)
+    acc_b = jnp.zeros((hb, D, TQ), jnp.float32)
+    for p in range(P):
+        ixp = ix_ref[0, 0, p, :][None, :]                  # [1, TQ]
+        iyp = iy_ref[0, 0, p, :][None, :]
+        awp = aw_ref[0, 0, p, :][None, :]
+        hx = jnp.maximum(0.0, 1.0 - jnp.abs(ixp - xsub))   # [w, TQ]
+        if quant:
+            hxc = jnp.round(hx * 127.0).astype(jnp.int8)
+            Tt = jnp.dot(vt, hxc, preferred_element_type=jnp.int32
+                         ).astype(jnp.float32)             # [hb*D, TQ]
+            Tb = jnp.dot(vb, hxc, preferred_element_type=jnp.int32
+                         ).astype(jnp.float32)
+        else:
+            hxc = hx.astype(cdt)
+            Tt = jnp.dot(vt, hxc, preferred_element_type=jnp.float32)
+            Tb = jnp.dot(vb, hxc, preferred_element_type=jnp.float32)
+        hyw = jnp.maximum(0.0, 1.0 - jnp.abs(iyp - ysub)) * awp  # [2hb, TQ]
+        acc_t = acc_t + Tt.reshape(hb, D, TQ) * hyw[:hb, None, :]
+        acc_b = acc_b + Tb.reshape(hb, D, TQ) * hyw[hb:, None, :]
+    out_ref[0, 0] = acc_t.sum(axis=0) + acc_b.sum(axis=0)
+
+
+def _fwd_kernel_win(bidx_ref, ix_ref, iy_ref, aw_ref, vt_ref, vb_ref,
+                    out_ref, *, win, w, D, P, cdt):
     # bidx_ref (scalar prefetch) is consumed by the index_maps only: it
-    # selects which y-band block vb_ref holds; iy is already band-local.
+    # selects which two half-band blocks vt/vb hold; iy is band-local.
     del bidx_ref
-    _fwd_body(ix_ref, iy_ref, aw_ref, vb_ref[0, 0, 0], out_ref,
-              win, w, D, P, cdt)
+    _fwd_body_hb(ix_ref, iy_ref, aw_ref, vt_ref[0, 0, 0], vb_ref[0, 0, 0],
+                 out_ref, win // 2, w, D, P, cdt)
 
 
 def _level_pallas_fwd(VtT, ix, iy, aw, *, h, w, D, P, batch_p=None):
@@ -260,25 +297,36 @@ def _level_pallas_fwd(VtT, ix, iy, aw, *, h, w, D, P, batch_p=None):
     )(ix, iy, aw, VtT)
 
 
-def _band_values(VtT, h: int, D: int, win: int):
-    """[B,H,h*D,w] -> [B,H,n_bands,win*D,w] overlapping y-band slices."""
-    starts = band_starts(h, win)
-    return jnp.stack(
-        [VtT[:, :, s * D:(s + win) * D, :] for s in starts], axis=2)
+def _half_band_blocks(VtT, h: int, D: int, win: int):
+    """[B,H,h*D,w] -> [B,H,n_half,(win/2)*D,w] non-overlapping half-band
+    blocks: band j (start j*win/2, ``band_starts`` geometry) is exactly
+    blocks (j, j+1). The row split is a PURE reshape — the only copy is
+    the zero-pad of the overhang rows below h, which XLA fuses into the
+    ``_vtt`` marshalling transpose. Replaces a materialized overlapping
+    band stack (~2x the values in HBM per call)."""
+    B, H, N, w = VtT.shape
+    hb = band_stride(win)
+    assert win == 2 * hb, "banded kernels require an even window"
+    hgeo = band_starts(h, win)[-1] + win
+    if hgeo > h:
+        VtT = jnp.pad(VtT, ((0, 0), (0, 0), (0, (hgeo - h) * D), (0, 0)))
+    return VtT.reshape(B, H, hgeo // hb, hb * D, w)
 
 
-def _level_pallas_fwd_win(Vb, bidx, ix, iy, aw, *, win, w, D, P):
-    """Banded forward. Vb: [B,H,n_bands,win*D,w]; bidx: [B,H,T] i32
-    (scalar prefetch, drives the band block's index_map); ix/iy/aw:
+def _level_pallas_fwd_win(Vh, bidx, ix, iy, aw, *, win, w, D, P):
+    """Banded forward. Vh: [B,H,n_half,(win/2)*D,w] half-band blocks;
+    bidx: [B,H,T] i32 (scalar prefetch; band j = half-band blocks j and
+    j+1, selected as two Blocked refs over the same array); ix/iy/aw:
     [B,H,P,Q_pad] f32 with iy band-local. Returns [B,H,D,Q_pad] f32."""
-    B, H, _, N, _ = Vb.shape
+    B, H, _, Nh, _ = Vh.shape
+    N = 2 * Nh
     Q_pad = ix.shape[3]
     TQ = _tq_fwd(N)
     assert Q_pad % TQ == 0 and bidx.shape == (B, H, Q_pad // TQ)
     n_tiles = Q_pad // TQ
 
     kern = functools.partial(_fwd_kernel_win, win=win, w=w, D=D, P=P,
-                             cdt=Vb.dtype)
+                             cdt=Vh.dtype)
     rows_spec = pl.BlockSpec((1, 1, P, TQ),
                              lambda b, hh, t, bref: (b, hh, 0, t))
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -286,8 +334,11 @@ def _level_pallas_fwd_win(Vb, bidx, ix, iy, aw, *, win, w, D, P):
         grid=(B, H, n_tiles),
         in_specs=[
             rows_spec, rows_spec, rows_spec,
-            pl.BlockSpec((1, 1, 1, N, w),
+            pl.BlockSpec((1, 1, 1, Nh, w),
                          lambda b, hh, t, bref: (b, hh, bref[b, hh, t], 0, 0)),
+            pl.BlockSpec((1, 1, 1, Nh, w),
+                         lambda b, hh, t, bref:
+                         (b, hh, bref[b, hh, t] + 1, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, 1, D, TQ),
                                lambda b, hh, t, bref: (b, hh, 0, t)),
@@ -297,7 +348,7 @@ def _level_pallas_fwd_win(Vb, bidx, ix, iy, aw, *, win, w, D, P):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, H, D, Q_pad), jnp.float32),
         interpret=_interpret(),
-    )(bidx, ix, iy, aw, Vb)
+    )(bidx, ix, iy, aw, Vh, Vh)
 
 
 # --------------------------------------------------------------------------
@@ -357,12 +408,71 @@ def _bwd_rows_kernel(ix_ref, iy_ref, aw_ref, vtt_ref, g_ref,
                    dix_ref, diy_ref, daw_ref, h, w, D, P, cdt)
 
 
-def _bwd_rows_kernel_win(bidx_ref, ix_ref, iy_ref, aw_ref, vb_ref, g_ref,
-                         dix_ref, diy_ref, daw_ref, *, win, w, D, P, cdt):
+def _bwd_rows_body_hb(ix_ref, iy_ref, aw_ref, vt, vb, g_ref,
+                      dix_ref, diy_ref, daw_ref, hb, w, D, P, cdt):
+    """Banded row grads over a band split into its two half-band blocks
+    (see ``_fwd_body_hb``): every [N, TQ] product/reduce of
+    ``_bwd_rows_body`` splits over the band's y rows, and dhxT is the
+    sum of the two half TN contractions — bit-identical to the single
+    band-block math."""
+    Nh = vt.shape[0]
+    TQ = ix_ref.shape[3]
+
+    xsub = lax.broadcasted_iota(jnp.int32, (w, TQ), 0).astype(jnp.float32)
+    yt = (lax.broadcasted_iota(jnp.int32, (Nh, TQ), 0) // D).astype(
+        jnp.float32)
+    yb = yt + float(hb)
+
+    g = g_ref[0, 0].astype(jnp.float32)                    # [D, TQ]
+    g_tile = jnp.broadcast_to(g[None], (hb, D, TQ)).reshape(Nh, TQ)
+
+    for p in range(P):
+        ixp = ix_ref[0, 0, p, :][None, :]
+        iyp = iy_ref[0, 0, p, :][None, :]
+        awp = aw_ref[0, 0, p, :][None, :]
+
+        zx = ixp - xsub                                    # [w, TQ]
+        hxT = jnp.maximum(0.0, 1.0 - jnp.abs(zx))
+        zyt = iyp - yt                                     # [Nh, TQ]
+        hyt = jnp.maximum(0.0, 1.0 - jnp.abs(zyt))
+        zyb = iyp - yb
+        hyb = jnp.maximum(0.0, 1.0 - jnp.abs(zyb))
+
+        dTt = hyt * awp * g_tile                           # [Nh, TQ] f32
+        dTb = hyb * awp * g_tile
+
+        dhxT = lax.dot_general(
+            vt, dTt.astype(cdt), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) + lax.dot_general(
+            vb, dTb.astype(cdt), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)            # [w, TQ]
+        ghx = jnp.where(jnp.abs(zx) < 1.0, -jnp.sign(zx), 0.0)
+        dix_ref[0, 0, pl.ds(p, 1), :] = jnp.sum(
+            dhxT * ghx, axis=0, keepdims=True)
+
+        hxc = hxT.astype(cdt)
+        Tgt = jnp.dot(vt, hxc,
+                      preferred_element_type=jnp.float32) * g_tile
+        Tgb = jnp.dot(vb, hxc,
+                      preferred_element_type=jnp.float32) * g_tile
+        daw_ref[0, 0, pl.ds(p, 1), :] = (
+            jnp.sum(hyt * Tgt, axis=0, keepdims=True)
+            + jnp.sum(hyb * Tgb, axis=0, keepdims=True))
+        ghyt = jnp.where(jnp.abs(zyt) < 1.0, -jnp.sign(zyt), 0.0)
+        ghyb = jnp.where(jnp.abs(zyb) < 1.0, -jnp.sign(zyb), 0.0)
+        diy_ref[0, 0, pl.ds(p, 1), :] = (
+            jnp.sum(awp * ghyt * Tgt, axis=0, keepdims=True)
+            + jnp.sum(awp * ghyb * Tgb, axis=0, keepdims=True))
+
+
+def _bwd_rows_kernel_win(bidx_ref, ix_ref, iy_ref, aw_ref, vt_ref, vb_ref,
+                         g_ref, dix_ref, diy_ref, daw_ref, *,
+                         win, w, D, P, cdt):
     # bidx_ref (scalar prefetch) is consumed by the index_maps only
     del bidx_ref
-    _bwd_rows_body(ix_ref, iy_ref, aw_ref, vb_ref[0, 0, 0], g_ref,
-                   dix_ref, diy_ref, daw_ref, win, w, D, P, cdt)
+    _bwd_rows_body_hb(ix_ref, iy_ref, aw_ref, vt_ref[0, 0, 0],
+                      vb_ref[0, 0, 0], g_ref, dix_ref, diy_ref, daw_ref,
+                      win // 2, w, D, P, cdt)
 
 
 def _bwd_dvtt_body(ix_ref, iy_ref, aw_ref, g_ref, N, h, w, D, P, cdt):
@@ -432,9 +542,10 @@ def _bwd_dvtt_kernel_win(bidx_ref, perm_ref, first_ref,
         dvb_ref[0, 0, 0] = dvb_ref[0, 0, 0] + dvtt
 
 
-def _level_pallas_bwd_win(Vb, bidx, ix, iyb, aw, g, *, win, w, D, P):
+def _level_pallas_bwd_win(Vh, bidx, ix, iyb, aw, g, *, win, w, D, P):
     """Banded backward: same contract as ``_level_pallas_bwd`` but with
-    band-local coordinates and banded values/grads.
+    band-local coordinates and banded values/grads. Vh are the
+    half-band blocks of ``_half_band_blocks`` (band j = blocks j, j+1).
 
     Valid because clamped coordinates' hat support never leaves the
     selected band (the forward kernel relies on the same invariant), so
@@ -443,7 +554,9 @@ def _level_pallas_bwd_win(Vb, bidx, ix, iyb, aw, g, *, win, w, D, P):
     the caller overlap-adds dVb into the full dVtT and masks
     never-selected bands.
     """
-    B, H, nb, N, _ = Vb.shape
+    B, H, n_half, Nh, _ = Vh.shape
+    N = 2 * Nh
+    nb = n_half - 1
     Q_pad = ix.shape[3]
     TQ = _tq_fwd(N)  # must match the forward's band-selection tiling
     assert Q_pad % TQ == 0 and bidx.shape == (B, H, Q_pad // TQ)
@@ -455,14 +568,17 @@ def _level_pallas_bwd_win(Vb, bidx, ix, iyb, aw, g, *, win, w, D, P):
                           lambda b, hh, t, *refs: (b, hh, 0, t))
 
     kern_r = functools.partial(_bwd_rows_kernel_win, win=win, w=w, D=D,
-                               P=P, cdt=Vb.dtype)
+                               P=P, cdt=Vh.dtype)
     grid_r = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B, H, n_tiles),
         in_specs=[
             rows_spec, rows_spec, rows_spec,
-            pl.BlockSpec((1, 1, 1, N, w),
+            pl.BlockSpec((1, 1, 1, Nh, w),
                          lambda b, hh, t, bref: (b, hh, bref[b, hh, t],
+                                                 0, 0)),
+            pl.BlockSpec((1, 1, 1, Nh, w),
+                         lambda b, hh, t, bref: (b, hh, bref[b, hh, t] + 1,
                                                  0, 0)),
             g_spec,
         ],
@@ -477,7 +593,7 @@ def _level_pallas_bwd_win(Vb, bidx, ix, iyb, aw, g, *, win, w, D, P):
             jax.ShapeDtypeStruct((B, H, P, Q_pad), jnp.float32),
         ],
         interpret=_interpret(),
-    )(bidx, ix, iyb, aw, Vb, g)
+    )(bidx, ix, iyb, aw, Vh, Vh, g)
 
     # band-sorted tile order: accumulation runs over consecutive tiles
     perm = jnp.argsort(bidx, axis=2, stable=True).astype(jnp.int32)
@@ -837,8 +953,8 @@ def _msda_win_fwd(value, spatial_shapes, sampling_locations,
                 loc_l, aw_l, h, w, window, segs, TQ)
             if quant:
                 VtT, ix, iyb, awe = _quantize_level(VtT, ix, iyb, awe)
-            Vb = _band_values(VtT, h, D, window)
-            o = _level_pallas_fwd_win(Vb, bidx, ix, iyb, awe,
+            Vh = _half_band_blocks(VtT, h, D, window)
+            o = _level_pallas_fwd_win(Vh, bidx, ix, iyb, awe,
                                       win=window, w=w, D=D, P=P)
             o = unsegment_cols(o, segs, TQ)
         out = o if out is None else out + o
@@ -887,15 +1003,20 @@ def _msda_win_bwd(spatial_shapes, window, query_segments, res, g):
                 # forward (the clamp keeps all hat support in-band)
                 bidx, ix, iyb, _, awe, inband, in_img = _win_level_rows(
                     loc_l, aw_l, h, w, window, segs, TQ)
-                Vb = _band_values(_vtt(value_l, h, w), h, D, window)
+                Vh = _half_band_blocks(_vtt(value_l, h, w), h, D, window)
                 dVb, dix, diy, daw = _level_pallas_bwd_win(
-                    Vb, bidx, ix, iyb, awe, gq_seg,
+                    Vh, bidx, ix, iyb, awe, gq_seg,
                     win=window, w=w, D=D, P=P)
                 # overlap-add band slices back into the full value grad
-                dVtT = jnp.zeros((B, H, h * D, w), jnp.float32)
-                for j, s in enumerate(band_starts(h, window)):
+                # (the padded geometry rows below h carry no real values
+                # and are dropped by the final slice)
+                starts = band_starts(h, window)
+                hgeo = starts[-1] + window
+                dVtT = jnp.zeros((B, H, hgeo * D, w), jnp.float32)
+                for j, s in enumerate(starts):
                     dVtT = dVtT.at[:, :, s * D:(s + window) * D, :].add(
                         dVb[:, :, j])
+                dVtT = dVtT[:, :, :h * D]
             else:
                 # larger windows: the banded row-grad live set would
                 # overflow VMEM at the forward's tile; run the exact

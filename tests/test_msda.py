@@ -490,3 +490,46 @@ def test_pallas_batched_p_forward_matches_p_loop():
     finally:
         mp.FWD_BATCH_P = old
     np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-6)
+
+
+def test_band_geometry_is_half_band_aligned():
+    """The Pallas banded kernels select band j as half-band blocks
+    (j, j+1) of a free reshape, which requires every band start to be a
+    multiple of the stride (win/2) and bands to cover [0, h)."""
+    from egtr_tpu.ops.msda_window import band_starts, band_stride
+
+    for h in (10, 16, 17, 75, 80, 100, 101):
+        for win in (2, 4, 8, 16, 32):
+            starts = band_starts(h, win)
+            hb = band_stride(win)
+            if h <= win:
+                assert starts == (0,)
+                continue
+            assert all(s % hb == 0 for s in starts)
+            assert starts == tuple(j * hb for j in range(len(starts)))
+            # coverage: every row < h inside some band; overhang < stride
+            assert starts[-1] + win >= h
+            assert starts[-1] + win - h < hb
+            # band j = half-band blocks (j, j+1) of the hgeo/hb split
+            hgeo = starts[-1] + win
+            assert hgeo % hb == 0
+            assert len(starts) + 1 == hgeo // hb
+
+
+def test_odd_window_rejected():
+    """Odd windows cannot be expressed as two half-band blocks; both the
+    op-level and config-level entry points must reject them."""
+    import pytest
+
+    from egtr_tpu.config import EgtrConfig
+
+    shapes = ((8, 8),)
+    v = jnp.zeros((1, 64, 1, 8))
+    loc = jnp.full((1, 64, 1, 1, 1, 2), 0.5)
+    aw = jnp.ones((1, 64, 1, 1, 1))
+    with pytest.raises(ValueError, match="even window"):
+        ms_deform_attn(v, shapes, loc, aw, impl="matmul", window=7,
+                       query_segments=shapes)
+    with pytest.raises(ValueError, match="msda_window"):
+        EgtrConfig(msda_window=7)
+    EgtrConfig(msda_window=16)  # valid
