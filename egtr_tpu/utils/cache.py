@@ -38,8 +38,18 @@ def enable_compilation_cache(path: str | None = None) -> None:
 
     if path is None:
         # the SIGILL hazard is XLA:CPU-only; accelerator executables stay
-        # valid across container migrations, so share one cache for them
-        tag = _host_tag() if jax.default_backend() == "cpu" else "accel"
+        # valid across container migrations, so share one cache for them.
+        # Backend is decided from JAX_PLATFORMS when set: calling
+        # jax.default_backend() here would INITIALIZE the backend, and on
+        # the axon tunnel that blocks indefinitely while the TPU is
+        # unreachable — entry points must be able to set up the cache
+        # (and e.g. re-exec onto CPU) without touching the chip.
+        platforms = os.environ.get("JAX_PLATFORMS", "")
+        if platforms:
+            backend = platforms.split(",")[0].strip()
+        else:
+            backend = jax.default_backend()
+        tag = _host_tag() if backend == "cpu" else "accel"
         path = os.environ.get(
             "EGTR_JAX_CACHE", os.path.expanduser(f"~/.cache/egtr_jax-{tag}"))
     try:
