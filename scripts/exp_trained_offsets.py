@@ -258,29 +258,38 @@ def cmd_sweep(args):
     if os.path.exists(off_path):  # produced by the CPU `offsets` run
         report["offsets"] = json.load(open(off_path))
 
+    variants = [(int(w), False)
+                for w in args.windows.split(",") if w.strip() != ""]
+    if args.int8:
+        # de-asterisk the OTHER opt-in lever on the same trained weights
+        variants += [(0, True), (16, True)]
+
     raws = {}
-    for win in (0, 16, 32):
-        c = cfg.replace(msda_window=win)
+    for win, int8 in variants:
+        key = f"win{win}" + ("_int8" if int8 else "")
+        c = cfg.replace(msda_window=win, msda_int8=int8)
         t0 = time.time()
-        metrics, raws[win] = _sweep_eval(EgtrModel(c), c, params, test_ds,
-                                         args.batch, _bucket(args))
-        report[f"win{win}"] = {
+        metrics, raws[(win, int8)] = _sweep_eval(
+            EgtrModel(c), c, params, test_ds, args.batch, _bucket(args))
+        report[key] = {
             **{k: metrics.get(k) for k in
                ("R@20", "R@50", "R@100", "mR@20", "mR@50", "mR@100")},
             "compile_plus_eval_sec": round(time.time() - t0, 1),
         }
-        print(f"[exp] win={win}: {report[f'win{win}']}", flush=True)
+        print(f"[exp] {key}: {report[key]}", flush=True)
 
-    for win in (16, 32):
+    for win, int8 in variants:
+        if (win, int8) == (0, False) or (0, False) not in raws:
+            continue
         deltas = {}
-        for k in raws[0]:
-            d = np.abs(raws[win][k].astype(np.float64)
-                       - raws[0][k].astype(np.float64))
-            scale = float(np.abs(raws[0][k]).max()) or 1.0
+        for k in raws[(0, False)]:
+            d = np.abs(raws[(win, int8)][k].astype(np.float64)
+                       - raws[(0, False)][k].astype(np.float64))
+            scale = float(np.abs(raws[(0, False)][k]).max()) or 1.0
             deltas[k] = {"max_abs": float(d.max()),
                          "mean_abs": float(d.mean()),
                          "max_rel_of_scale": float(d.max() / scale)}
-        report[f"win{win}_vs_exact_outputs"] = deltas
+        report[f"win{win}{'_int8' if int8 else ''}_vs_exact_outputs"] = deltas
 
     path = os.path.join(args.out, "window_sweep.json")
     with open(path, "w") as f:
@@ -322,6 +331,11 @@ def main():
     ap.add_argument("--lr_backbone", type=float, default=5e-5)
     ap.add_argument("--window", type=int, default=0,
                     help="training-time msda_window (0 = exact)")
+    ap.add_argument("--windows", default="0,16,32",
+                    help="sweep-time window list (each = one compile)")
+    ap.add_argument("--int8", action="store_true",
+                    help="sweep also evaluates int8 and win16+int8 "
+                         "variants (two more compiles)")
     ap.add_argument("--train_seconds", type=int, default=3600 * 3)
     ap.add_argument("--ckpt_every", type=int, default=500)
     ap.add_argument("--size", type=int, default=600)
