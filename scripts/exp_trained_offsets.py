@@ -197,9 +197,13 @@ def _sweep_eval(model, cfg, params, ds, batch_size, buckets):
     for bi, batch in enumerate(loader):
         post = infer(params, jnp.asarray(batch["pixel_values"]),
                      jnp.asarray(batch["pixel_mask"]))
+        # the raw Q^2-sized head outputs are only compared for batch 0 —
+        # don't fetch ~30 MB/batch of them over the axon tunnel
+        raw = post.pop("raw")
         post = jax.tree.map(np.asarray, post)
         if bi == 0:
-            raw0 = post["raw"]
+            raw0 = jax.tree.map(np.asarray, raw)
+        del raw
         for j in range(batch["pixel_values"].shape[0]):
             if "valid" in batch and not batch["valid"][j]:
                 continue
