@@ -1,0 +1,89 @@
+"""AOT executable cache (utils/aot.py): correctness of the miss ->
+persist -> hit cycle on the CPU backend. Whether the axon TPU backend
+honors executable round-trips is measured separately on hardware
+(scripts/perf_probe_export.py); this pins the wrapper's behavior."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from egtr_tpu.utils.aot import load_or_compile
+
+
+def _fn():
+    return jax.jit(lambda x: jnp.sin(x) * 2.0 + 1.0)
+
+
+def test_aot_cache_roundtrip(tmp_path):
+    logs = []
+    x = jnp.linspace(0.0, 1.0, 8)
+
+    c1 = load_or_compile(_fn(), x, tag="t", cache_dir=str(tmp_path),
+                         log=logs.append)
+    files = list(tmp_path.glob("t-*.exec"))
+    assert len(files) == 1, (files, logs)
+    assert any("cached" in m for m in logs)
+
+    c2 = load_or_compile(_fn(), x, tag="t", cache_dir=str(tmp_path),
+                         log=logs.append)
+    assert any("loaded cached executable" in m for m in logs), logs
+    np.testing.assert_allclose(np.asarray(c2(x)), np.asarray(c1(x)))
+    np.testing.assert_allclose(np.asarray(c1(x)),
+                               np.sin(np.asarray(x)) * 2.0 + 1.0,
+                               rtol=1e-6)
+
+
+def test_aot_cache_key_misses_on_shape_and_code(tmp_path):
+    logs = []
+    load_or_compile(_fn(), jnp.zeros(8), tag="t", cache_dir=str(tmp_path),
+                    log=logs.append)
+    load_or_compile(_fn(), jnp.zeros(16), tag="t", cache_dir=str(tmp_path),
+                    log=logs.append)
+    other = jax.jit(lambda x: jnp.cos(x))
+    load_or_compile(other, jnp.zeros(8), tag="t", cache_dir=str(tmp_path),
+                    log=logs.append)
+    assert len(list(tmp_path.glob("t-*.exec"))) == 3
+    assert not any("loaded cached" in m for m in logs)
+
+
+def test_aot_cache_corrupt_entry_recompiles(tmp_path):
+    logs = []
+    x = jnp.zeros(8)
+    load_or_compile(_fn(), x, tag="t", cache_dir=str(tmp_path),
+                    log=logs.append)
+    (path,) = tmp_path.glob("t-*.exec")
+    path.write_bytes(b"not a pickle")
+    c = load_or_compile(_fn(), x, tag="t", cache_dir=str(tmp_path),
+                        log=logs.append)
+    assert any("rejected" in m for m in logs), logs
+    np.testing.assert_allclose(np.asarray(c(x)), 1.0)
+
+
+def test_aot_cache_disabled_is_plain_compile(tmp_path, monkeypatch):
+    monkeypatch.delenv("EGTR_AOT_CACHE", raising=False)
+    monkeypatch.delenv("EGTR_AOT_CACHE_DIR", raising=False)
+    c = load_or_compile(_fn(), jnp.zeros(4), tag="t")
+    assert np.isfinite(np.asarray(c(jnp.zeros(4)))).all()
+    assert list(tmp_path.iterdir()) == []
+
+
+def test_aot_cache_sharded_program_roundtrip(tmp_path):
+    """A program compiled over an explicit 8-device mesh must restore
+    onto the same device assignment (deserialize defaults to all local
+    devices in enumeration order; the cache records the compile-time
+    order)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+    mesh = Mesh(np.array(jax.devices()).reshape(8), ("data",))
+    sh = NamedSharding(mesh, PartitionSpec("data"))
+    x = jax.device_put(jnp.arange(32.0), sh)
+    f = jax.jit(lambda v: v * 2.0, in_shardings=sh, out_shardings=sh)
+
+    logs = []
+    c1 = load_or_compile(f, x, tag="sh", cache_dir=str(tmp_path),
+                         log=logs.append)
+    c2 = load_or_compile(f, x, tag="sh", cache_dir=str(tmp_path),
+                         log=logs.append)
+    assert any("loaded cached executable" in m for m in logs), logs
+    np.testing.assert_allclose(np.asarray(c2(x)), np.asarray(c1(x)))
+    np.testing.assert_allclose(np.asarray(c2(x)), np.arange(32.0) * 2.0)
