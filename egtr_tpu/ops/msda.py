@@ -348,13 +348,13 @@ def ms_deform_attn(
             raise ValueError(
                 f"int8 stage-1 is a Pallas-kernel feature; impl={impl!r} "
                 "cannot honor it (drop int8 or use impl='pallas'/'auto')")
-        impl = "pallas"   # interpret-mode on CPU; quantization is the point
+        impl = "pallas"
     elif impl == "auto":
         impl = "pallas" if jax.default_backend() not in ("cpu",) else "matmul"
-    if impl == "pallas" and not int8:
-        from .msda_pallas import msda_pallas_supported
-        if not msda_pallas_supported():
-            impl = "matmul"
+    # explicit impl="pallas" ALWAYS routes to the kernels (interpret mode
+    # on CPU) — a silent matmul substitution made every CPU test of the
+    # dispatch-level pallas path vacuous (a banded-backward NameError
+    # shipped green behind it); only "auto" picks matmul on CPU, for speed
     if impl == "pallas":
         from .msda_pallas import (msda_pallas, msda_pallas_q,
                                   msda_pallas_win, msda_pallas_win_q)

@@ -65,11 +65,6 @@ def _interpret() -> bool:
     return INTERPRET or jax.default_backend() == "cpu"
 
 
-def msda_pallas_supported() -> bool:
-    """Mosaic lowering available (or interpreter forced for tests)."""
-    return INTERPRET or jax.default_backend() != "cpu"
-
-
 def _tq_fwd(N: int) -> int:
     # forward keeps ~3 live [N, TQ] f32 temporaries (acc, T_p, hy)
     return fit_tile(N, 3)
@@ -608,7 +603,7 @@ def _level_pallas_bwd_win(Vh, bidx, ix, iyb, aw, g, *, win, w, D, P):
             lambda b, hh, t, bref, pref, fref: (b, hh, 0, pref[b, hh, t]))
 
     kern_v = functools.partial(_bwd_dvtt_kernel_win, win=win, w=w, D=D,
-                               P=P, cdt=Vb.dtype)
+                               P=P, cdt=Vh.dtype)
     grid_v = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(B, H, n_tiles),
