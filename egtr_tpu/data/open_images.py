@@ -92,13 +92,8 @@ class OIDataset:
         bounds it at one open per image total. Called by the Loader only
         when it will actually derive per-batch buckets (multi-host, no
         fixed bucket)."""
-        if not hasattr(self, "_size_cache"):
-            self._size_cache = {}
-        for idx, t in enumerate(self.targets):
-            if idx not in self._size_cache:
-                with Image.open(os.path.join(
-                        self.img_dir, f"{t['img_fn']}.jpg")) as im:
-                    self._size_cache[idx] = im.size
+        for idx in range(len(self.targets)):
+            self.nominal_size(idx)
 
     def __getitem__(self, idx: int) -> Sample:
         t = self.targets[idx]

@@ -38,7 +38,8 @@ def evaluate_sgg(model, cfg, params, loader, rel_categories: Sequence[str], *,
     import jax.numpy as jnp
 
     from .postprocess import rescale_boxes_np, sgg_postprocess
-    from .sg_eval import SceneGraphEvaluator, evaluate_mean_recall
+    from .sg_eval import (SceneGraphEvaluator, evaluate_mean_recall,
+                          evaluate_per_predicate)
 
     need_full_rel = oi_evaluator is not None
 
@@ -136,13 +137,8 @@ def evaluate_sgg(model, cfg, params, loader, rel_categories: Sequence[str], *,
                     "rel_scores": post["single_rel_vec"][j],
                 }
                 single.evaluate_entry(gt_entry, entry)
-                for pred_id, name in enumerate(rel_categories):
-                    mask = gt_rels[:, 2] == pred_id
-                    if not mask.any():
-                        continue
-                    sub_gt = dict(gt_entry)
-                    sub_gt["gt_relations"] = gt_rels[mask]
-                    per_pred_single[name].evaluate_entry(sub_gt, entry)
+                evaluate_per_predicate(gt_entry, entry, per_pred_single,
+                                       rel_categories)
             if multiple is not None:
                 entry = {
                     "pred_boxes": pred_boxes_abs,
@@ -152,13 +148,8 @@ def evaluate_sgg(model, cfg, params, loader, rel_categories: Sequence[str], *,
                     "rel_scores": post["mult_rel_scores"][j],
                 }
                 multiple.evaluate_entry(gt_entry, entry)
-                for pred_id, name in enumerate(rel_categories):
-                    mask = gt_rels[:, 2] == pred_id
-                    if not mask.any():
-                        continue
-                    sub_gt = dict(gt_entry)
-                    sub_gt["gt_relations"] = gt_rels[mask]
-                    per_pred_multiple[name].evaluate_entry(sub_gt, entry)
+                evaluate_per_predicate(gt_entry, entry, per_pred_multiple,
+                                       rel_categories)
             if oi_evaluator is not None:
                 Q = post["pred_classes"].shape[1]
                 so = np.array([(a, b) for a in range(Q) for b in range(Q)])

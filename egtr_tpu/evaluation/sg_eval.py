@@ -170,3 +170,19 @@ def evaluate_mean_recall(per_predicate: Dict[str, Dict[str, float]],
             total += v
         out[f"mR@{k}"] = total / num_predicates
     return out
+
+
+def evaluate_per_predicate(gt_entry, entry, evaluators, rel_categories):
+    """Feed one image into the per-predicate evaluator dict: each
+    predicate present in the gt is evaluated against the gt restricted
+    to that predicate (reference calculate_mR_from_evaluator_list,
+    lib/evaluation/sg_eval.py:331-372). Shared by the constrained and
+    unconstrained mR paths and the offsets experiment."""
+    gt_rels = gt_entry["gt_relations"]
+    for pred_id, name in enumerate(rel_categories):
+        mask = gt_rels[:, 2] == pred_id
+        if not mask.any():
+            continue
+        sub_gt = dict(gt_entry)
+        sub_gt["gt_relations"] = gt_rels[mask]
+        evaluators[name].evaluate_entry(sub_gt, entry)

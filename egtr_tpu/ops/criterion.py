@@ -117,13 +117,14 @@ def uncertainty_loss(targets, res: MatchResult, valid_img=None) -> jax.Array:
     """No-grad diagnostic (egtr.py:679-689): mean over gt relation entries of
     sigmoid(cost_i) * sigmoid(cost_j). ``valid_img`` zeroes pad images."""
     u = jax.nn.sigmoid(res.matching_cost)                          # [B,G]
-    rel = targets["rel"]                                           # [B,G,G,R]
+    rel_n = targets["rel"].sum(-1)                                 # [B,G,G]
     pair_u = u[:, :, None] * u[:, None, :]                         # [B,G,G]
     if valid_img is not None:
-        pair_u = pair_u * valid_img[:, None, None]
-        rel = rel * valid_img[:, None, None, None]
-    total = (targets["rel"].sum(-1) * pair_u).sum()
-    count = rel.sum()
+        # one mask on the [B,G,G] grid covers both the numerator product
+        # and the entry count
+        rel_n = rel_n * valid_img[:, None, None]
+    total = (rel_n * pair_u).sum()
+    count = rel_n.sum()
     return jax.lax.stop_gradient(total / jnp.maximum(count, 1.0))
 
 

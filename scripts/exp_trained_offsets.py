@@ -175,7 +175,8 @@ def _sweep_eval(model, cfg, params, ds, batch_size, buckets):
     from egtr_tpu.evaluation.postprocess import (rescale_boxes_np,
                                                  sgg_postprocess)
     from egtr_tpu.evaluation.sg_eval import (SceneGraphEvaluator,
-                                             evaluate_mean_recall)
+                                             evaluate_mean_recall,
+                                             evaluate_per_predicate)
 
     @jax.jit
     def infer(params, pv, pm):
@@ -230,13 +231,8 @@ def _sweep_eval(model, cfg, params, ds, batch_size, buckets):
                 "rel_scores": post["single_rel_vec"][j],
             }
             single.evaluate_entry(gt_entry, entry)
-            for pred_id, name in enumerate(ds.rel_categories):
-                mask = gt_rels[:, 2] == pred_id
-                if not mask.any():
-                    continue
-                sub_gt = dict(gt_entry)
-                sub_gt["gt_relations"] = gt_rels[mask]
-                per_pred[name].evaluate_entry(sub_gt, entry)
+            evaluate_per_predicate(gt_entry, entry, per_pred,
+                                   ds.rel_categories)
     metrics = dict(single.aggregate())
     metrics.update(evaluate_mean_recall(
         {n: e.aggregate() for n, e in per_pred.items()},
