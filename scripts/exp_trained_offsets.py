@@ -253,10 +253,18 @@ def cmd_sweep(args):
     test_ds = VGDataset(args.data_path, "test", size=args.size,
                         max_size=args.max_size)
 
-    report = {}
+    # The report is INCREMENTAL: each axon-tunnel compile is minutes, so
+    # every finished variant is persisted immediately, already-measured
+    # variants are skipped on re-invocation, and the exact path's batch-0
+    # raw outputs are cached on disk so later runs can compute deltas
+    # without recompiling the exact program.
+    path = os.path.join(args.out, "window_sweep.json")
+    report = json.load(open(path)) if os.path.exists(path) else {}
     off_path = os.path.join(args.out, "offset_stats.json")
     if os.path.exists(off_path):  # produced by the CPU `offsets` run
         report["offsets"] = json.load(open(off_path))
+    npz_path = os.path.join(args.out, "exact_raw0.npz")
+    raw0 = dict(np.load(npz_path)) if os.path.exists(npz_path) else None
 
     variants = [(int(w), False)
                 for w in args.windows.split(",") if w.strip() != ""]
@@ -264,36 +272,43 @@ def cmd_sweep(args):
         # de-asterisk the OTHER opt-in lever on the same trained weights
         variants += [(0, True), (16, True)]
 
-    raws = {}
+    def flush():
+        with open(path, "w") as f:
+            json.dump(report, f, indent=2)
+
     for win, int8 in variants:
         key = f"win{win}" + ("_int8" if int8 else "")
+        exact = (win, int8) == (0, False)
+        if key in report and (raw0 is not None or not exact):
+            print(f"[exp] {key}: already measured, skipping", flush=True)
+            continue
         c = cfg.replace(msda_window=win, msda_int8=int8)
         t0 = time.time()
-        metrics, raws[(win, int8)] = _sweep_eval(
+        metrics, raw = _sweep_eval(
             EgtrModel(c), c, params, test_ds, args.batch, _bucket(args))
-        report[key] = {
+        raw = {k: np.asarray(v, np.float32) for k, v in raw.items()}
+        report.setdefault(key, {
             **{k: metrics.get(k) for k in
                ("R@20", "R@50", "R@100", "mR@20", "mR@50", "mR@100")},
             "compile_plus_eval_sec": round(time.time() - t0, 1),
-        }
+        })
         print(f"[exp] {key}: {report[key]}", flush=True)
+        if exact:
+            raw0 = raw
+            np.savez(npz_path, **raw)
+        elif raw0 is not None:
+            deltas = {}
+            for k in raw0:
+                d = np.abs(raw[k].astype(np.float64)
+                           - raw0[k].astype(np.float64))
+                scale = float(np.abs(raw0[k]).max()) or 1.0
+                deltas[k] = {"max_abs": float(d.max()),
+                             "mean_abs": float(d.mean()),
+                             "max_rel_of_scale": float(d.max() / scale)}
+            report[f"{key}_vs_exact_outputs"] = deltas
+        flush()
 
-    for win, int8 in variants:
-        if (win, int8) == (0, False) or (0, False) not in raws:
-            continue
-        deltas = {}
-        for k in raws[(0, False)]:
-            d = np.abs(raws[(win, int8)][k].astype(np.float64)
-                       - raws[(0, False)][k].astype(np.float64))
-            scale = float(np.abs(raws[(0, False)][k]).max()) or 1.0
-            deltas[k] = {"max_abs": float(d.max()),
-                         "mean_abs": float(d.mean()),
-                         "max_rel_of_scale": float(d.max() / scale)}
-        report[f"win{win}{'_int8' if int8 else ''}_vs_exact_outputs"] = deltas
-
-    path = os.path.join(args.out, "window_sweep.json")
-    with open(path, "w") as f:
-        json.dump(report, f, indent=2)
+    flush()
     print(f"[exp] report written to {path}", flush=True)
 
 
