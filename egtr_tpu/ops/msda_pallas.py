@@ -553,9 +553,14 @@ def _level_pallas_bwd_win(Vh, bidx, ix, iyb, aw, g, *, win, w, D, P):
     N = 2 * Nh
     nb = n_half - 1
     Q_pad = ix.shape[3]
-    TQ = _tq_fwd(N)  # must match the forward's band-selection tiling
-    assert Q_pad % TQ == 0 and bidx.shape == (B, H, Q_pad // TQ)
-    n_tiles = Q_pad // TQ
+    # the tile is read off bidx: band selection happened at the FORWARD's
+    # tile size, but the backward may run narrower tiles (its live set is
+    # ~8 buffers vs the forward's 3) — the caller repeats each forward
+    # tile's band index across its sub-tiles
+    n_tiles = bidx.shape[2]
+    assert Q_pad % n_tiles == 0 and bidx.shape == (B, H, n_tiles)
+    TQ = Q_pad // n_tiles
+    assert TQ % _LANES == 0
 
     rows_spec = pl.BlockSpec((1, 1, P, TQ),
                              lambda b, hh, t, *refs: (b, hh, 0, t))
@@ -990,37 +995,35 @@ def _msda_win_bwd(spatial_shapes, window, query_segments, res, g):
             def unrows(t):
                 return t[:, :, :, :Q].transpose(0, 3, 1, 2)
         else:
+            # banded backward: streams window*D rows like the forward
+            # (the clamp keeps all hat support in-band). Its live set is
+            # ~8 buffers vs the forward's 3, so for larger windows it runs
+            # NARROWER query tiles than the forward's band selection —
+            # each forward tile's band index is repeated across its
+            # sub-tiles (every sub-tile clamps to the same band, so the
+            # grads are exactly the windowed forward's).
             TQ = _tq_fwd(window * D)
             segs = segment_bounds(Q, query_segments)
             gq_seg = segment_cols(gq, segs, TQ)
-            if _tq_bwd(window * D) == TQ:
-                # banded backward: streams window*D rows like the
-                # forward (the clamp keeps all hat support in-band)
-                bidx, ix, iyb, _, awe, inband, in_img = _win_level_rows(
-                    loc_l, aw_l, h, w, window, segs, TQ)
-                Vh = _half_band_blocks(_vtt(value_l, h, w), h, D, window)
-                dVb, dix, diy, daw = _level_pallas_bwd_win(
-                    Vh, bidx, ix, iyb, awe, gq_seg,
-                    win=window, w=w, D=D, P=P)
-                # overlap-add band slices back into the full value grad
-                # (the padded geometry rows below h carry no real values
-                # and are dropped by the final slice)
-                starts = band_starts(h, window)
-                hgeo = starts[-1] + window
-                dVtT = jnp.zeros((B, H, hgeo * D, w), jnp.float32)
-                for j, s in enumerate(starts):
-                    dVtT = dVtT.at[:, :, s * D:(s + window) * D, :].add(
-                        dVb[:, :, j])
-                dVtT = dVtT[:, :, :h * D]
-            else:
-                # larger windows: the banded row-grad live set would
-                # overflow VMEM at the forward's tile; run the exact
-                # kernel on the clamp-transformed coords instead
-                VtT = _vtt(value_l, h, w)
-                _, ix, _, iyc, awe, inband, in_img = _win_level_rows(
-                    loc_l, aw_l, h, w, window, segs, TQ)
-                dVtT, dix, diy, daw = _level_pallas_bwd(
-                    VtT, ix, iyc, awe, gq_seg, h=h, w=w, D=D, P=P)
+            bidx, ix, iyb, _, awe, inband, in_img = _win_level_rows(
+                loc_l, aw_l, h, w, window, segs, TQ)
+            TQb = _tq_bwd(window * D)
+            if TQb < TQ:
+                bidx = jnp.repeat(bidx, TQ // TQb, axis=2)
+            Vh = _half_band_blocks(_vtt(value_l, h, w), h, D, window)
+            dVb, dix, diy, daw = _level_pallas_bwd_win(
+                Vh, bidx, ix, iyb, awe, gq_seg,
+                win=window, w=w, D=D, P=P)
+            # overlap-add band slices back into the full value grad
+            # (the padded geometry rows below h carry no real values
+            # and are dropped by the final slice)
+            starts = band_starts(h, window)
+            hgeo = starts[-1] + window
+            dVtT = jnp.zeros((B, H, hgeo * D, w), jnp.float32)
+            for j, s in enumerate(starts):
+                dVtT = dVtT.at[:, :, s * D:(s + window) * D, :].add(
+                    dVb[:, :, j])
+            dVtT = dVtT[:, :, :h * D]
             diy = diy * inband                     # zero where clamped
             daw = daw * in_img                     # d aw_eff / d aw
 

@@ -244,17 +244,18 @@ def test_msda_windowed_grads_match_fallback(rng):
                                    atol=1e-4, rtol=1e-4)
 
 
-def test_msda_windowed_bwd_fallback_branch_grads(rng):
-    """Forces the exact-on-clamped-coords backward branch (taken when the
-    banded backward's larger live set would shrink the tile below the
-    forward's: _tq_bwd(window*D) != _tq_fwd(window*D), e.g. D=128 w/
-    window=8 or the documented window=32/D=32 config) and pins its grads
-    against the matmul fallback (ADVICE r2 #3)."""
+def test_msda_windowed_bwd_subtile_grads(rng):
+    """Forces the banded backward's NARROW-tile path (taken when its ~8
+    live buffers shrink the tile below the forward's band-selection tile:
+    _tq_bwd(window*D) < _tq_fwd(window*D), e.g. D=128 w/ window=8 or the
+    documented window=32/D=32 config). Each forward tile's band index is
+    repeated across the backward sub-tiles; grads must still match the
+    matmul fallback exactly."""
     from egtr_tpu.ops.msda_pallas import _tq_bwd, _tq_fwd
 
     D, window = 128, 8
-    assert _tq_bwd(window * D) != _tq_fwd(window * D), (
-        "test no longer exercises the fallback branch — pick dims where "
+    assert _tq_bwd(window * D) < _tq_fwd(window * D), (
+        "test no longer exercises the sub-tile path — pick dims where "
         "the bwd tile is smaller than the fwd tile")
     shapes = ((16, 16),)
     value, shapes, loc, aw = make_inputs(
