@@ -18,6 +18,9 @@ def main():
     ap.add_argument("--skip-parity", action="store_true")
     ap.add_argument("--grad", action="store_true",
                     help="also time fwd+bwd (training step shape)")
+    ap.add_argument("--window", type=int, default=0,
+                    help="banded window for stage 2 (0 = exact); "
+                         "query_segments = the encoder shapes")
     args = ap.parse_args()
 
     import jax
@@ -72,34 +75,41 @@ def main():
     loc = jnp.asarray(rng.uniform(0, 1, (B, Q, H, L, P, 2)), jnp.float32)
     aw = jnp.asarray(rng.uniform(0, 1, (B, Q, H, L, P)), jnp.bfloat16)
 
-    for impl in args.impls.split(","):
-        f = jax.jit(lambda v, l, a, impl=impl: ms_deform_attn(
-            v, shapes, l, a, impl=impl).sum())
-        t = np.asarray(f(value, loc, aw))  # compile
+    wkw = {}
+    if args.window:
+        wkw = dict(window=args.window, query_segments=shapes)
+
+    def timed(fn, label):
+        np.asarray(fn(value, loc, aw))  # compile + first exec
         t0 = time.perf_counter()
         for _ in range(args.iters):
-            np.asarray(f(value, loc, aw))
+            np.asarray(fn(value, loc, aw))
         dt = (time.perf_counter() - t0) / args.iters * 1000
-        print(f"fwd {impl}: {dt:.2f} ms/call (x6 layers = {6*dt:.0f} ms)",
-              flush=True)
+        # chained: dispatch all iters, sync once — device time without
+        # the per-iteration tunnel round trip (~27 ms)
+        t0 = time.perf_counter()
+        outs = [fn(value, loc, aw) for _ in range(args.iters)]
+        np.asarray(outs[-1])
+        dev = (time.perf_counter() - t0) / args.iters * 1000
+        print(f"{label}: {dt:.2f} ms/call fetched, {dev:.2f} ms/call "
+              f"device-chained (x6 layers = {6*dev:.0f} ms)", flush=True)
+
+    for impl in args.impls.split(","):
+        f = jax.jit(lambda v, l, a, impl=impl: ms_deform_attn(
+            v, shapes, l, a, impl=impl, **wkw).sum())
+        timed(f, f"fwd {impl} win={args.window}")
 
         if args.grad:
             def gsum(v, l, a, impl=impl):
                 gr = jax.grad(
                     lambda v_, l_, a_: ms_deform_attn(
-                        v_, shapes, l_, a_, impl=impl
+                        v_, shapes, l_, a_, impl=impl, **wkw
                     ).astype(jnp.float32).sum(),
                     argnums=(0, 1, 2))(v, l, a)
                 # one scalar fetch; see axon tunnel note in module docstring
                 return sum(x.astype(jnp.float32).sum() for x in gr)
 
-            g = jax.jit(gsum)
-            np.asarray(g(value, loc, aw))
-            t0 = time.perf_counter()
-            for _ in range(args.iters):
-                np.asarray(g(value, loc, aw))
-            dt = (time.perf_counter() - t0) / args.iters * 1000
-            print(f"fwd+bwd {impl}: {dt:.2f} ms/call", flush=True)
+            timed(jax.jit(gsum), f"fwd+bwd {impl} win={args.window}")
 
 
 if __name__ == "__main__":
