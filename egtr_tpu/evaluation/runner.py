@@ -63,6 +63,9 @@ def evaluate_sgg(model, cfg, params, loader, rel_categories: Sequence[str], *,
                                 * jnp.clip(out["pred_connectivity"], 0, 1))
         return post
 
+    from ..utils.aot import maybe_aot
+    infer = maybe_aot(infer, "eval_infer")
+
     coco = None
     if coco_eval:
         from .coco_eval import CocoEvaluator

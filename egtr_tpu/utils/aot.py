@@ -54,6 +54,30 @@ def _key(lowered, tag: str) -> str:
     return hashlib.sha256(ident.encode()).hexdigest()[:16]
 
 
+def maybe_aot(jfn, tag: str):
+    """Wrap a jitted callable with the AOT executable cache, dispatching
+    per argument-shape signature (a ``Compiled`` is shape-specialized;
+    bucketed loaders feed a handful of distinct shapes). Returns ``jfn``
+    unchanged when the cache is disabled, so call sites can wrap
+    unconditionally."""
+    if aot_cache_dir() is None:
+        return jfn
+    import jax
+
+    compiled = {}
+
+    def call(*args):
+        key = tuple(
+            (getattr(a, "shape", None), str(getattr(a, "dtype", type(a))))
+            for a in jax.tree_util.tree_leaves(args))
+        c = compiled.get(key)
+        if c is None:
+            c = compiled[key] = load_or_compile(jfn, *args, tag=tag)
+        return c(*args)
+
+    return call
+
+
 def load_or_compile(jfn, *args, tag: str,
                     cache_dir: Optional[str] = None,
                     log: Callable[[str], None] = print) -> Any:

@@ -162,6 +162,9 @@ def main():
                 out["pred_connectivity"], num_labels=cfg.num_labels,
                 top_k=100)
 
+        from egtr_tpu.utils.aot import maybe_aot
+        infer = maybe_aot(infer, "fps_infer")
+
         n = 0
         t0 = None
         for batch in loader:

@@ -87,3 +87,23 @@ def test_aot_cache_sharded_program_roundtrip(tmp_path):
     assert any("loaded cached executable" in m for m in logs), logs
     np.testing.assert_allclose(np.asarray(c2(x)), np.asarray(c1(x)))
     np.testing.assert_allclose(np.asarray(c2(x)), np.arange(32.0) * 2.0)
+
+
+def test_maybe_aot_shape_dispatch(tmp_path, monkeypatch):
+    """maybe_aot wraps a jitted fn with per-shape Compiled dispatch when
+    the cache is enabled, and is the identity when disabled."""
+    from egtr_tpu.utils import aot
+
+    f = _fn()
+    monkeypatch.delenv("EGTR_AOT_CACHE", raising=False)
+    monkeypatch.delenv("EGTR_AOT_CACHE_DIR", raising=False)
+    assert aot.maybe_aot(f, "m") is f
+
+    monkeypatch.setenv("EGTR_AOT_CACHE_DIR", str(tmp_path))
+    g = aot.maybe_aot(f, "m")
+    np.testing.assert_allclose(np.asarray(g(jnp.zeros(4))), 1.0)
+    np.testing.assert_allclose(np.asarray(g(jnp.zeros(8))), 1.0)
+    np.testing.assert_allclose(
+        np.asarray(g(jnp.full(4, 0.5))),
+        np.sin(0.5) * 2.0 + 1.0, rtol=1e-6)
+    assert len(list(tmp_path.glob("m-*.exec"))) == 2  # one per shape
