@@ -116,6 +116,8 @@ def main():
                     choices=["auto", "pallas", "matmul", "gather"])
     ap.add_argument("--msda-window", type=int, default=0,
                     help="banded-MSDA window height (0 = exact)")
+    ap.add_argument("--msda-band", default="tile", choices=["tile", "point"],
+                    help="band selection granularity for windowed MSDA")
     ap.add_argument("--msda-int8", action="store_true",
                     help="int8 stage-1 MSDA (opt-in approximation)")
     ap.add_argument("--batch8", dest="batch8", action="store_true",
@@ -132,6 +134,7 @@ def main():
     H, W = 608, 1008
     cfg_kw = {"msda_impl": args.msda_impl,
               "msda_window": args.msda_window,
+              "msda_band": args.msda_band,
               "msda_int8": args.msda_int8}
 
     params, x, infer = _build(cfg_kw, 1, H, W)

@@ -107,6 +107,14 @@ class EgtrConfig:
     # than ~window/2 rows from a tile's weighted-mean row are clamped to
     # the band edge (ops/msda_window.py). Typical values: 16 or 32.
     msda_window: int = 0
+    # Band-selection granularity for the windowed approximation:
+    # "tile" = one runtime band per query tile (all P sampling points
+    # clamp into it); "point" = one band per (tile, point) — invariant
+    # to each point's mean offset, so trained offsets of any magnitude
+    # stay exact as long as nearby queries deform coherently (only the
+    # within-tile spread of one point's samples can clamp). Same MXU
+    # cost; 2P half-band fetches per tile instead of 2.
+    msda_band: str = "tile"
     # Opt-in int8 stage-1 for the pallas MSDA kernel: values quantized
     # symmetrically per (batch, head, level), hat vectors rounded to 7
     # bits, stage-1 dot in the MXU's double-rate int8 mode. Gradients
@@ -135,6 +143,10 @@ class EgtrConfig:
                 "msda_window must be 0 (exact) or a positive even band "
                 f"height (band = 2 half-band blocks), got "
                 f"{self.msda_window}")
+        if self.msda_band not in ("tile", "point"):
+            raise ValueError(
+                f"msda_band must be 'tile' or 'point', got "
+                f"{self.msda_band!r}")
 
     @property
     def head_dim(self) -> int:

@@ -205,7 +205,8 @@ class DeformableDetrBase(nn.Module):
                 E, cfg.encoder_ffn_dim, cfg.encoder_attention_heads, Lv,
                 cfg.encoder_n_points, cfg.dropout, cfg.activation_dropout,
                 dtype=dtype, msda_impl=cfg.msda_impl,
-                msda_window=cfg.msda_window, msda_int8=cfg.msda_int8,
+                msda_window=cfg.msda_window, msda_band=cfg.msda_band,
+                msda_int8=cfg.msda_int8,
                 name=f"encoder_layer_{i}",
             )(hidden, pos_flatten, enc_ref, shapes, mask_flatten,
               deterministic)

@@ -156,6 +156,8 @@ class MSDeformableAttention(nn.Module):
     # opt-in banded approximation (ops/msda_window.py); only set where the
     # queries are raster-ordered (encoder self-attention)
     window: int = 0
+    # band-selection granularity: "tile" or "point" (per sampling point)
+    band: str = "tile"
     # opt-in int8 stage-1 (ops/msda_pallas.py msda_pallas_q)
     int8: bool = False
 
@@ -214,7 +216,7 @@ class MSDeformableAttention(nn.Module):
             value, tuple(spatial_shapes), loc,
             weights.astype(value.dtype), impl=self.msda_impl,
             window=self.window, query_segments=query_segments,
-            int8=self.int8)
+            int8=self.int8, band=self.band)
         # under remat_policy="dots" the kernel output is saved (not
         # recomputed) in the backward pass; no-op otherwise
         out = checkpoint_name(out, "msda")
@@ -236,6 +238,7 @@ class EncoderLayer(nn.Module):
     dtype: Optional[jnp.dtype] = None
     msda_impl: str = "auto"
     msda_window: int = 0
+    msda_band: str = "tile"
     msda_int8: bool = False
 
     @nn.compact
@@ -247,7 +250,8 @@ class EncoderLayer(nn.Module):
         hidden_states = MSDeformableAttention(
             self.d_model, self.num_heads, self.n_levels, self.n_points,
             dtype=self.dtype, msda_impl=self.msda_impl,
-            window=self.msda_window, int8=self.msda_int8,
+            window=self.msda_window, band=self.msda_band,
+            int8=self.msda_int8,
             name="self_attn",
         )(hidden_states, hidden_states, reference_points, spatial_shapes,
           position_embeddings=position_embeddings, value_mask=value_mask,

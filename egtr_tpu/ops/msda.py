@@ -277,7 +277,8 @@ def _ambient_batch_axis(batch_size: int):
 
 
 def _msda_matmul_windowed(value, spatial_shapes, sampling_locations,
-                          attention_weights, window, query_segments):
+                          attention_weights, window, query_segments,
+                          band="tile"):
     """Windowed approximation via the exact matmul path on
     clamp-transformed coordinates (ops/msda_window.py) — the CPU-testable
     oracle for the banded Pallas kernel: banding only restricts which y
@@ -295,7 +296,8 @@ def _msda_matmul_windowed(value, spatial_shapes, sampling_locations,
             aws.append(aw_l.astype(jnp.float32))
         else:
             loc2, aw2 = windowed_level_coords(
-                loc_l, aw_l, h, w, window, query_segments, Q, D)
+                loc_l, aw_l, h, w, window, query_segments, Q, D,
+                per_point=band == "point")
             locs.append(loc2.astype(jnp.float32))
             aws.append(aw2)
     loc = jnp.stack(locs, axis=3).astype(sampling_locations.dtype)
@@ -312,6 +314,7 @@ def ms_deform_attn(
     window: int = 0,
     query_segments=None,
     int8: bool = False,
+    band: str = "tile",
 ) -> jax.Array:
     """Pure-JAX multi-scale deformable attention (forward; differentiable).
 
@@ -324,6 +327,11 @@ def ms_deform_attn(
     ``query_segments`` must then give the raster layout of the queries
     (encoder self-attention: the spatial_shapes); pass None for
     non-raster queries only if window == 0.
+
+    band: "tile" selects ONE band per query tile (all P points share
+    it); "point" selects a band PER SAMPLING POINT (same MXU cost,
+    2P half-band fetches per tile instead of 2) — invariant to each
+    point's mean offset, so only within-tile per-point spread clamps.
 
     int8 = True (opt-in, ``config.msda_int8``) quantizes the stage-1
     contraction (values to int8 per batch/head/level, hat vectors to 7
@@ -342,6 +350,9 @@ def ms_deform_attn(
     if window % 2:
         raise ValueError(f"windowed MSDA requires an even window (a band "
                          f"is two half-band blocks), got {window}")
+    if band not in ("tile", "point"):
+        raise ValueError(f"msda band must be 'tile' or 'point', got "
+                         f"{band!r}")
 
     if int8:
         if impl not in ("auto", "pallas"):
@@ -363,7 +374,7 @@ def ms_deform_attn(
 
             def fn(v, l, a):
                 return win_op(v, spatial_shapes, l, a,
-                              window, query_segments)
+                              window, query_segments, band)
         else:
             op = msda_pallas_q if int8 else msda_pallas
 
@@ -385,7 +396,7 @@ def ms_deform_attn(
             return _msda_matmul_windowed(value, spatial_shapes,
                                          sampling_locations,
                                          attention_weights, window,
-                                         query_segments)
+                                         query_segments, band)
         return _msda_matmul(value, spatial_shapes, sampling_locations,
                             attention_weights)
     if impl == "gather":

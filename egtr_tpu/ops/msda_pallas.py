@@ -242,6 +242,61 @@ def _fwd_kernel_win(bidx_ref, ix_ref, iy_ref, aw_ref, vt_ref, vb_ref,
                  out_ref, win // 2, w, D, P, cdt)
 
 
+def _fwd_kernel_win_pp(bidx_ref, ix_ref, iy_ref, aw_ref, *refs,
+                       win, w, D, P, cdt):
+    """Per-point banded forward (band="point"): each point p reads its
+    OWN half-band block pair (refs[2p], refs[2p+1]), selected by
+    bidx[b,hh,p,t] in the index_maps; iy is band-local per point. Unlike
+    the per-tile body, the y-fold runs per point (each point's [hb,D,TQ]
+    accumulator lives in a different band, so they cannot share one)."""
+    del bidx_ref
+    vrefs, out_ref = refs[:-1], refs[-1]
+    hb = win // 2
+    TQ = ix_ref.shape[3]
+    quant = vrefs[0].dtype == jnp.int8
+
+    xsub = lax.broadcasted_iota(jnp.int32, (w, TQ), 0).astype(jnp.float32)
+    ysub = lax.broadcasted_iota(jnp.int32, (2 * hb, TQ), 0).astype(
+        jnp.float32)
+
+    out = jnp.zeros((D, TQ), jnp.float32)
+    for p in range(P):
+        vt = vrefs[2 * p][0, 0, 0]
+        vb = vrefs[2 * p + 1][0, 0, 0]
+        ixp = ix_ref[0, 0, p, :][None, :]                  # [1, TQ]
+        iyp = iy_ref[0, 0, p, :][None, :]
+        awp = aw_ref[0, 0, p, :][None, :]
+        hx = jnp.maximum(0.0, 1.0 - jnp.abs(ixp - xsub))   # [w, TQ]
+        if quant:
+            hxc = jnp.round(hx * 127.0).astype(jnp.int8)
+            Tt = jnp.dot(vt, hxc, preferred_element_type=jnp.int32
+                         ).astype(jnp.float32)             # [hb*D, TQ]
+            Tb = jnp.dot(vb, hxc, preferred_element_type=jnp.int32
+                         ).astype(jnp.float32)
+        else:
+            hxc = hx.astype(cdt)
+            Tt = jnp.dot(vt, hxc, preferred_element_type=jnp.float32)
+            Tb = jnp.dot(vb, hxc, preferred_element_type=jnp.float32)
+        hyw = jnp.maximum(0.0, 1.0 - jnp.abs(iyp - ysub)) * awp  # [2hb, TQ]
+        out = out + ((Tt.reshape(hb, D, TQ) * hyw[:hb, None, :]).sum(0)
+                     + (Tb.reshape(hb, D, TQ) * hyw[hb:, None, :]).sum(0))
+    out_ref[0, 0] = out
+
+
+def _pp_value_specs(P: int, Nh: int, w: int):
+    """2P half-band BlockSpecs: point p's band j = blocks (j, j+1), with
+    j = bidx[b, hh, p, t] (bidx [B,H,P,T] scalar prefetch)."""
+    specs = []
+    for p in range(P):
+        specs.append(pl.BlockSpec(
+            (1, 1, 1, Nh, w),
+            lambda b, hh, t, bref, p=p: (b, hh, bref[b, hh, p, t], 0, 0)))
+        specs.append(pl.BlockSpec(
+            (1, 1, 1, Nh, w),
+            lambda b, hh, t, bref, p=p: (b, hh, bref[b, hh, p, t] + 1, 0, 0)))
+    return specs
+
+
 def _level_pallas_fwd(VtT, ix, iy, aw, *, h, w, D, P, batch_p=None):
     """VtT: [B,H,h*D,w] (compute dtype); ix/iy/aw: [B,H,P,Q_pad] f32.
     Returns [B,H,D,Q_pad] f32."""
@@ -310,16 +365,39 @@ def _half_band_blocks(VtT, h: int, D: int, win: int):
 
 def _level_pallas_fwd_win(Vh, bidx, ix, iy, aw, *, win, w, D, P):
     """Banded forward. Vh: [B,H,n_half,(win/2)*D,w] half-band blocks;
-    bidx: [B,H,T] i32 (scalar prefetch; band j = half-band blocks j and
-    j+1, selected as two Blocked refs over the same array); ix/iy/aw:
-    [B,H,P,Q_pad] f32 with iy band-local. Returns [B,H,D,Q_pad] f32."""
+    bidx: [B,H,T] i32 (band="tile") or [B,H,P,T] (band="point") scalar
+    prefetch; band j = half-band blocks j and j+1, selected as Blocked
+    refs over the same array; ix/iy/aw: [B,H,P,Q_pad] f32 with iy
+    band-local (per point when bidx is 4-D). Returns [B,H,D,Q_pad] f32."""
     B, H, _, Nh, _ = Vh.shape
     N = 2 * Nh
     Q_pad = ix.shape[3]
     TQ = _tq_fwd(N)
-    assert Q_pad % TQ == 0 and bidx.shape == (B, H, Q_pad // TQ)
+    assert Q_pad % TQ == 0
     n_tiles = Q_pad // TQ
 
+    if bidx.ndim == 4:                                     # band="point"
+        assert bidx.shape == (B, H, P, n_tiles)
+        kern = functools.partial(_fwd_kernel_win_pp, win=win, w=w, D=D,
+                                 P=P, cdt=Vh.dtype)
+        rows_spec = pl.BlockSpec((1, 1, P, TQ),
+                                 lambda b, hh, t, bref: (b, hh, 0, t))
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, H, n_tiles),
+            in_specs=[rows_spec, rows_spec, rows_spec,
+                      *_pp_value_specs(P, Nh, w)],
+            out_specs=pl.BlockSpec((1, 1, D, TQ),
+                                   lambda b, hh, t, bref: (b, hh, 0, t)),
+        )
+        return pl.pallas_call(
+            kern,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((B, H, D, Q_pad), jnp.float32),
+            interpret=_interpret(),
+        )(bidx, ix, iy, aw, *([Vh] * (2 * P)))
+
+    assert bidx.shape == (B, H, n_tiles)
     kern = functools.partial(_fwd_kernel_win, win=win, w=w, D=D, P=P,
                              cdt=Vh.dtype)
     rows_spec = pl.BlockSpec((1, 1, P, TQ),
@@ -403,16 +481,21 @@ def _bwd_rows_kernel(ix_ref, iy_ref, aw_ref, vtt_ref, g_ref,
                    dix_ref, diy_ref, daw_ref, h, w, D, P, cdt)
 
 
-def _bwd_rows_body_hb(ix_ref, iy_ref, aw_ref, vt, vb, g_ref,
+def _bwd_rows_body_hb(ix_ref, iy_ref, aw_ref, vsel, g_ref,
                       dix_ref, diy_ref, daw_ref, hb, w, D, P, cdt):
     """Banded row grads over a band split into its two half-band blocks
     (see ``_fwd_body_hb``): every [N, TQ] product/reduce of
     ``_bwd_rows_body`` splits over the band's y rows, and dhxT is the
     sum of the two half TN contractions — bit-identical to the single
-    band-block math."""
-    Nh = vt.shape[0]
+    band-block math.
+
+    ``vsel(p) -> (vt, vb)`` supplies point p's half-band blocks — the
+    same pair for every p under band="tile", point p's own pair under
+    band="point" (the per-p math below is already band-local and writes
+    per-p outputs, so the two modes share this body verbatim)."""
     TQ = ix_ref.shape[3]
 
+    Nh = hb * D
     xsub = lax.broadcasted_iota(jnp.int32, (w, TQ), 0).astype(jnp.float32)
     yt = (lax.broadcasted_iota(jnp.int32, (Nh, TQ), 0) // D).astype(
         jnp.float32)
@@ -422,6 +505,7 @@ def _bwd_rows_body_hb(ix_ref, iy_ref, aw_ref, vt, vb, g_ref,
     g_tile = jnp.broadcast_to(g[None], (hb, D, TQ)).reshape(Nh, TQ)
 
     for p in range(P):
+        vt, vb = vsel(p)
         ixp = ix_ref[0, 0, p, :][None, :]
         iyp = iy_ref[0, 0, p, :][None, :]
         awp = aw_ref[0, 0, p, :][None, :]
@@ -465,8 +549,23 @@ def _bwd_rows_kernel_win(bidx_ref, ix_ref, iy_ref, aw_ref, vt_ref, vb_ref,
                          win, w, D, P, cdt):
     # bidx_ref (scalar prefetch) is consumed by the index_maps only
     del bidx_ref
-    _bwd_rows_body_hb(ix_ref, iy_ref, aw_ref, vt_ref[0, 0, 0],
-                      vb_ref[0, 0, 0], g_ref, dix_ref, diy_ref, daw_ref,
+    _bwd_rows_body_hb(ix_ref, iy_ref, aw_ref,
+                      lambda p: (vt_ref[0, 0, 0], vb_ref[0, 0, 0]),
+                      g_ref, dix_ref, diy_ref, daw_ref,
+                      win // 2, w, D, P, cdt)
+
+
+def _bwd_rows_kernel_win_pp(bidx_ref, ix_ref, iy_ref, aw_ref, *refs,
+                            win, w, D, P, cdt):
+    """Per-point banded row grads: point p's half-band pair is
+    (refs[2p], refs[2p+1]), selected by bidx[b,hh,p,t]."""
+    del bidx_ref
+    vrefs = refs[:2 * P]
+    g_ref, dix_ref, diy_ref, daw_ref = refs[2 * P:]
+    _bwd_rows_body_hb(ix_ref, iy_ref, aw_ref,
+                      lambda p: (vrefs[2 * p][0, 0, 0],
+                                 vrefs[2 * p + 1][0, 0, 0]),
+                      g_ref, dix_ref, diy_ref, daw_ref,
                       win // 2, w, D, P, cdt)
 
 
@@ -537,6 +636,119 @@ def _bwd_dvtt_kernel_win(bidx_ref, perm_ref, first_ref,
         dvb_ref[0, 0, 0] = dvb_ref[0, 0, 0] + dvtt
 
 
+def _bwd_dvtt_kernel_win_pp(bsort_ref, pidx_ref, tidx_ref, first_ref,
+                            ix_ref, iy_ref, aw_ref, g_ref, dvb_ref, *,
+                            win, w, D, cdt):
+    """Per-point banded value grads. The grid's third axis enumerates
+    (point, tile) pairs in band-sorted order: step s processes point
+    pidx[s] of tile tidx[s] (its rows arrive point-sliced, so the body
+    runs with P=1) and accumulates into band block bsort[s]; ``first``
+    marks the first pair of each band run (init vs accumulate)."""
+    del bsort_ref, pidx_ref, tidx_ref
+    b, hh, s = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    N = dvb_ref.shape[3]
+    dvtt = _bwd_dvtt_body(ix_ref, iy_ref, aw_ref, g_ref, N, win, w, D, 1,
+                          cdt)
+
+    first = first_ref[b, hh, s] != 0
+
+    @pl.when(first)
+    def _():
+        dvb_ref[0, 0, 0] = dvtt
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        dvb_ref[0, 0, 0] = dvb_ref[0, 0, 0] + dvtt
+
+
+def _level_pallas_bwd_win_pp(Vh, bidx, ix, iyb, aw, g, *, win, w, D, P):
+    """Per-point (band="point") banded backward: same contract as
+    ``_level_pallas_bwd_win`` but bidx is [B,H,P,T] and every kernel
+    selects point p's own half-band pair. The value-grad accumulation
+    sorts the flattened (point, tile) pairs by band — P*T grid steps of
+    single-point tiles instead of T steps of P-loops (same total MACs)."""
+    B, H, n_half, Nh, _ = Vh.shape
+    N = 2 * Nh
+    nb = n_half - 1
+    Q_pad = ix.shape[3]
+    n_tiles = bidx.shape[3]
+    assert Q_pad % n_tiles == 0 and bidx.shape == (B, H, P, n_tiles)
+    TQ = Q_pad // n_tiles
+    assert TQ % _LANES == 0
+
+    rows_spec = pl.BlockSpec((1, 1, P, TQ),
+                             lambda b, hh, t, *refs: (b, hh, 0, t))
+    g_spec = pl.BlockSpec((1, 1, D, TQ),
+                          lambda b, hh, t, *refs: (b, hh, 0, t))
+
+    kern_r = functools.partial(_bwd_rows_kernel_win_pp, win=win, w=w, D=D,
+                               P=P, cdt=Vh.dtype)
+    grid_r = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, H, n_tiles),
+        in_specs=[rows_spec, rows_spec, rows_spec,
+                  *_pp_value_specs(P, Nh, w), g_spec],
+        out_specs=[rows_spec, rows_spec, rows_spec],
+    )
+    dix, diy, daw = pl.pallas_call(
+        kern_r,
+        grid_spec=grid_r,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, P, Q_pad), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, P, Q_pad), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, P, Q_pad), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(bidx, ix, iyb, aw, *([Vh] * (2 * P)), g)
+
+    # flatten (point, tile) p-major and sort by band: accumulation into
+    # each band block runs over consecutive grid steps
+    S = P * n_tiles
+    bflat = bidx.reshape(B, H, S)
+    perm = jnp.argsort(bflat, axis=2, stable=True).astype(jnp.int32)
+    bsort = jnp.take_along_axis(bflat, perm, axis=2)
+    pidx = perm // n_tiles
+    tidx = perm % n_tiles
+    first = jnp.concatenate(
+        [jnp.ones_like(bsort[:, :, :1]),
+         (bsort[:, :, 1:] != bsort[:, :, :-1]).astype(jnp.int32)], axis=2)
+
+    def prow():
+        # point-sliced rows: block (1,1,1,TQ) at (b, hh, pidx[s], tidx[s])
+        return pl.BlockSpec(
+            (1, 1, 1, TQ),
+            lambda b, hh, s, bs, pi, ti, fi: (b, hh, pi[b, hh, s],
+                                              ti[b, hh, s]))
+
+    kern_v = functools.partial(_bwd_dvtt_kernel_win_pp, win=win, w=w, D=D,
+                               cdt=Vh.dtype)
+    grid_v = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(B, H, S),
+        in_specs=[
+            prow(), prow(), prow(),
+            pl.BlockSpec((1, 1, D, TQ),
+                         lambda b, hh, s, bs, pi, ti, fi:
+                         (b, hh, 0, ti[b, hh, s])),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, 1, N, w),
+            lambda b, hh, s, bs, pi, ti, fi: (b, hh, bs[b, hh, s], 0, 0)),
+    )
+    dVb = pl.pallas_call(
+        kern_v,
+        grid_spec=grid_v,
+        out_shape=jax.ShapeDtypeStruct((B, H, nb, N, w), jnp.float32),
+        interpret=_interpret(),
+    )(bsort, pidx, tidx, first, ix, iyb, aw, g)
+
+    # zero bands never selected by any (point, tile) pair
+    used = (bflat[:, :, None, :] == jnp.arange(nb)[None, None, :, None]
+            ).any(axis=3)                                   # [B,H,nb]
+    dVb = jnp.where(used[..., None, None], dVb, 0.0)
+    return dVb, dix, diy, daw
+
+
 def _level_pallas_bwd_win(Vh, bidx, ix, iyb, aw, g, *, win, w, D, P):
     """Banded backward: same contract as ``_level_pallas_bwd`` but with
     band-local coordinates and banded values/grads. Vh are the
@@ -549,6 +761,9 @@ def _level_pallas_bwd_win(Vh, bidx, ix, iyb, aw, g, *, win, w, D, P):
     the caller overlap-adds dVb into the full dVtT and masks
     never-selected bands.
     """
+    if bidx.ndim == 4:                                     # band="point"
+        return _level_pallas_bwd_win_pp(Vh, bidx, ix, iyb, aw, g,
+                                        win=win, w=w, D=D, P=P)
     B, H, n_half, Nh, _ = Vh.shape
     N = 2 * Nh
     nb = n_half - 1
@@ -894,36 +1109,42 @@ msda_pallas_q.defvjp(_msda_pallas_q_fwd, _msda_pallas_bwd)
 # windowed (banded) variant — see ops/msda_window.py for the contract
 # --------------------------------------------------------------------------
 
-def _win_level_rows(loc_l, aw_l, h, w, win, segs, TQ):
+def _win_level_rows(loc_l, aw_l, h, w, win, segs, TQ, per_point=False):
     """Segmented, window-transformed rows for one level.
 
     Returns (bidx, ix, iy_band, iy_clamped_abs, aw_eff, inband, in_img),
-    all in the [B,H,P,Q_pad_total] row layout (bidx is [B,H,T])."""
+    all in the [B,H,P,Q_pad_total] row layout (bidx is [B,H,T], or
+    [B,H,P,T] when ``per_point``)."""
     ix = segment_rows(loc_l[..., 0].astype(jnp.float32) * w - 0.5, segs, TQ)
     iy = segment_rows(loc_l[..., 1].astype(jnp.float32) * h - 0.5, segs, TQ)
     awr = segment_rows(aw_l.astype(jnp.float32), segs, TQ)
-    bidx, iyb, iyc, awe, inband, in_img = window_rows(iy, awr, h, win, TQ)
+    bidx, iyb, iyc, awe, inband, in_img = window_rows(iy, awr, h, win, TQ,
+                                                      per_point)
     return bidx, ix, iyb, iyc, awe, inband, in_img
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 4, 5, 6))
 def msda_pallas_win(value, spatial_shapes: Sequence[Tuple[int, int]],
                     sampling_locations, attention_weights,
-                    window: int, query_segments):
+                    window: int, query_segments, band: str = "tile"):
     """Windowed multi-scale deformable attention (approximate, opt-in).
 
     Levels with h <= window run the exact kernel; taller levels run the
-    banded kernel with per-tile runtime band selection. ``query_segments``
+    banded kernel with runtime band selection — one band per query tile
+    (band="tile") or one per (query tile, sampling point)
+    (band="point"; see ops/msda_window.py window_rows). ``query_segments``
     is the (h, w) raster layout of the queries (encoder self-attention:
     the spatial_shapes themselves) so tiles never straddle levels.
     Gradients match the windowed forward exactly (clamp-masked)."""
     out, _ = _msda_win_fwd(value, spatial_shapes, sampling_locations,
-                           attention_weights, window, query_segments)
+                           attention_weights, window, query_segments, band)
     return out
 
 
 def _msda_win_fwd(value, spatial_shapes, sampling_locations,
-                  attention_weights, window, query_segments, quant=False):
+                  attention_weights, window, query_segments, band="tile",
+                  quant=False):
+    per_point = band == "point"
     B, S, H, D = value.shape
     _, Q, _, L, P, _ = sampling_locations.shape
     dtype = value.dtype
@@ -950,7 +1171,7 @@ def _msda_win_fwd(value, spatial_shapes, sampling_locations,
             segs = segment_bounds(Q, query_segments)
             VtT = _vtt(value_l, h, w)
             bidx, ix, iyb, _, awe, _, _ = _win_level_rows(
-                loc_l, aw_l, h, w, window, segs, TQ)
+                loc_l, aw_l, h, w, window, segs, TQ, per_point)
             if quant:
                 VtT, ix, iyb, awe = _quantize_level(VtT, ix, iyb, awe)
             Vh = _half_band_blocks(VtT, h, D, window)
@@ -963,11 +1184,12 @@ def _msda_win_fwd(value, spatial_shapes, sampling_locations,
     return out, (value, sampling_locations, attention_weights)
 
 
-def _msda_win_bwd(spatial_shapes, window, query_segments, res, g):
+def _msda_win_bwd(spatial_shapes, window, query_segments, band, res, g):
     """Backward: the exact kernel on the clamp-transformed coordinates
     (full-height values — banding only restricts reachable rows, which
     the clamp already encodes), with d/d_iy masked where the clamp was
     active and d/d_aw masked by the in-image guard."""
+    per_point = band == "point"
     value, sampling_locations, attention_weights = res
     B, S, H, D = value.shape
     _, Q, _, L, P, _ = sampling_locations.shape
@@ -1006,10 +1228,10 @@ def _msda_win_bwd(spatial_shapes, window, query_segments, res, g):
             segs = segment_bounds(Q, query_segments)
             gq_seg = segment_cols(gq, segs, TQ)
             bidx, ix, iyb, _, awe, inband, in_img = _win_level_rows(
-                loc_l, aw_l, h, w, window, segs, TQ)
+                loc_l, aw_l, h, w, window, segs, TQ, per_point)
             TQb = _tq_bwd(window * D)
             if TQb < TQ:
-                bidx = jnp.repeat(bidx, TQ // TQb, axis=2)
+                bidx = jnp.repeat(bidx, TQ // TQb, axis=bidx.ndim - 1)
             Vh = _half_band_blocks(_vtt(value_l, h, w), h, D, window)
             dVb, dix, diy, daw = _level_pallas_bwd_win(
                 Vh, bidx, ix, iyb, awe, gq_seg,
@@ -1047,23 +1269,25 @@ def _msda_win_bwd(spatial_shapes, window, query_segments, res, g):
 msda_pallas_win.defvjp(_msda_win_fwd, _msda_win_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 4, 5, 6))
 def msda_pallas_win_q(value, spatial_shapes: Sequence[Tuple[int, int]],
                       sampling_locations, attention_weights,
-                      window: int, query_segments):
+                      window: int, query_segments, band: str = "tile"):
     """Windowed + int8-stage-1 variant: composes the banded
     approximation with int8 quantization (see ``msda_pallas_q``).
     Backward is the exact windowed bf16 path (straight-through)."""
     out, _ = _msda_win_q_fwd(value, spatial_shapes, sampling_locations,
-                             attention_weights, window, query_segments)
+                             attention_weights, window, query_segments,
+                             band)
     return out
 
 
 def _msda_win_q_fwd(value, spatial_shapes, sampling_locations,
-                    attention_weights, window, query_segments):
+                    attention_weights, window, query_segments,
+                    band="tile"):
     return _msda_win_fwd(value, spatial_shapes, sampling_locations,
                          attention_weights, window, query_segments,
-                         quant=True)
+                         band, quant=True)
 
 
 msda_pallas_win_q.defvjp(_msda_win_q_fwd, _msda_win_bwd)

@@ -136,13 +136,25 @@ def segment_cols(g, segs, TQ: int):
     return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1)
 
 
-def window_rows(iy, aw, h: int, win: int, TQ: int):
+def window_rows(iy, aw, h: int, win: int, TQ: int, per_point: bool = False):
     """Runtime band selection + coordinate transform, in row space.
 
     iy, aw: [B, H, P, Q_pad] f32 (segmented; padded rows must carry aw=0).
-    Returns (bidx [B,H,T] i32, iy_band, iy_clamped_abs, aw_eff, inband,
+    Returns (bidx i32, iy_band, iy_clamped_abs, aw_eff, inband,
     in_image), where iy_band = iy_clamped_abs - band_start is the
     band-local coordinate the banded kernel consumes.
+
+    ``per_point=False`` (band="tile"): ONE band per query tile — bidx is
+    [B,H,T], chosen from the attention-weighted mean sample row over all
+    P points of the tile. ``per_point=True`` (band="point"): each of the
+    P sampling points selects its OWN band — bidx is [B,H,P,T]. Per-point
+    selection is invariant to a point's mean offset (a point whose
+    samples sit 40 rows above the queries still lands mid-band); only the
+    WITHIN-tile spread of one point's samples can clamp, so trained
+    offsets of any magnitude stay exact as long as nearby queries deform
+    coherently. MXU cost is identical (each point's stage-1 dot streams
+    the same win*D rows, just from its own band); the only extra cost is
+    fetching 2P half-band blocks per tile instead of 2.
     """
     B, H, P, Qp = iy.shape
     T = Qp // TQ
@@ -150,16 +162,20 @@ def window_rows(iy, aw, h: int, win: int, TQ: int):
     awe = jnp.where(in_img, aw, 0.0)
 
     starts = band_starts(h, win)
-    # per-tile weighted mean sample row -> nearest band
+    # weighted mean sample row (per tile, or per (point, tile)) -> nearest band
     wt = awe.reshape(B, H, P, T, TQ)
     iyt = iy.reshape(B, H, P, T, TQ)
-    den = wt.sum(axis=(2, 4))
-    c = (iyt * wt).sum(axis=(2, 4)) / jnp.maximum(den, 1e-6)
+    red = (4,) if per_point else (2, 4)
+    den = wt.sum(axis=red)
+    c = (iyt * wt).sum(axis=red) / jnp.maximum(den, 1e-6)
     ideal = (c - (win - 1) / 2.0) / band_stride(win)
     bidx = jnp.clip(jnp.round(ideal), 0, len(starts) - 1).astype(jnp.int32)
 
-    sb = jnp.take(jnp.asarray(starts, jnp.float32), bidx)     # [B,H,T]
-    sbr = jnp.repeat(sb, TQ, axis=-1)[:, :, None, :]          # [B,H,1,Qp]
+    sb = jnp.take(jnp.asarray(starts, jnp.float32), bidx)
+    if per_point:
+        sbr = jnp.repeat(sb, TQ, axis=-1)                     # [B,H,P,Qp]
+    else:
+        sbr = jnp.repeat(sb, TQ, axis=-1)[:, :, None, :]      # [B,H,1,Qp]
     # clamp to the band edge, EXCEPT where the band touches the image
     # edge: there the hat + in-image guard already reproduce the exact
     # partial-weight/zero-pad behaviour for the (-1, 0) and (h-1, h)
@@ -172,7 +188,8 @@ def window_rows(iy, aw, h: int, win: int, TQ: int):
 
 
 def windowed_level_coords(loc_l, aw_l, h: int, w: int, win: int,
-                          query_segments, Q: int, D: int):
+                          query_segments, Q: int, D: int,
+                          per_point: bool = False):
     """Matmul-fallback transform: absolute clamped (loc, aw) for one level.
 
     loc_l: [B,Q,H,P,2], aw_l: [B,Q,H,P]. Returns (loc', aw') with the
@@ -192,7 +209,7 @@ def windowed_level_coords(loc_l, aw_l, h: int, w: int, win: int,
     segs = segment_bounds(Q, query_segments)
     iy = segment_rows(loc_l[..., 1].astype(jnp.float32) * h - 0.5, segs, TQ)
     awr = segment_rows(aw_l.astype(jnp.float32), segs, TQ)
-    _, _, iyc, awe, _, _ = window_rows(iy, awr, h, win, TQ)
+    _, _, iyc, awe, _, _ = window_rows(iy, awr, h, win, TQ, per_point)
     iyc_q = unsegment_rows(iyc, segs, TQ)                     # [B,Q,H,P]
     awe_q = unsegment_rows(awe, segs, TQ)
     loc_y = (iyc_q + 0.5) / h

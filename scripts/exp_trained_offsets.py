@@ -266,23 +266,30 @@ def cmd_sweep(args):
     npz_path = os.path.join(args.out, "exact_raw0.npz")
     raw0 = dict(np.load(npz_path)) if os.path.exists(npz_path) else None
 
-    variants = [(int(w), False)
-                for w in args.windows.split(",") if w.strip() != ""]
+    # window tokens: "16" = per-tile band, "16p" = per-point bands
+    variants = []
+    for tok in args.windows.split(","):
+        tok = tok.strip()
+        if not tok:
+            continue
+        band = "point" if tok.endswith("p") else "tile"
+        variants.append((int(tok.rstrip("p")), band, False))
     if args.int8:
         # de-asterisk the OTHER opt-in lever on the same trained weights
-        variants += [(0, True), (16, True)]
+        variants += [(0, "tile", True), (16, "tile", True)]
 
     def flush():
         with open(path, "w") as f:
             json.dump(report, f, indent=2)
 
-    for win, int8 in variants:
-        key = f"win{win}" + ("_int8" if int8 else "")
+    for win, band, int8 in variants:
+        key = (f"win{win}" + ("_pp" if band == "point" else "")
+               + ("_int8" if int8 else ""))
         exact = (win, int8) == (0, False)
         if key in report and (raw0 is not None or not exact):
             print(f"[exp] {key}: already measured, skipping", flush=True)
             continue
-        c = cfg.replace(msda_window=win, msda_int8=int8)
+        c = cfg.replace(msda_window=win, msda_band=band, msda_int8=int8)
         t0 = time.time()
         metrics, raw = _sweep_eval(
             EgtrModel(c), c, params, test_ds, args.batch, _bucket(args))

@@ -274,6 +274,86 @@ def test_msda_windowed_bwd_subtile_grads(rng):
                                    atol=1e-4, rtol=1e-4)
 
 
+def test_msda_windowed_per_point_bands_beat_tile(rng):
+    """band="point": each sampling point selects its own band, so large
+    but per-point-coherent offsets stay EXACT where band="tile" (one
+    band for all P points) must clamp. Points get constant offsets of
+    -12/-4/+4/+10 rows: the per-tile spread (~24 rows) cannot fit a
+    window-8 band, but each point's within-tile spread (~2 raster rows
+    at w=256) trivially does."""
+    h, w, H, D, P = 32, 256, 2, 8, 4
+    shapes = ((h, w),)
+    Q = h * w
+    value = rng.standard_normal((1, Q, H, D)).astype(np.float32)
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    ref = np.stack([(xx.ravel() + 0.5) / w, (yy.ravel() + 0.5) / h], -1)
+    off_rows = np.array([-12.0, -4.0, 4.0, 10.0], np.float32)
+    off = np.zeros((1, Q, H, 1, P, 2), np.float32)
+    off[..., 1] = off_rows / h                      # constant per point
+    off[..., 0] = rng.uniform(-1, 1, (1, Q, H, 1, P)) / w
+    loc = (ref[None, :, None, None, None, :] + off).astype(np.float32)
+    aw = rng.uniform(0.1, 1, size=(1, Q, H, P)).astype(np.float32)
+    aw = (aw / aw.sum(-1, keepdims=True)).reshape(1, Q, H, 1, P)
+
+    exact = ms_deform_attn(jnp.array(value), shapes, jnp.array(loc),
+                           jnp.array(aw), impl="pallas")
+    for impl in ("pallas", "matmul"):
+        pp = ms_deform_attn(jnp.array(value), shapes, jnp.array(loc),
+                            jnp.array(aw), impl=impl, window=8,
+                            query_segments=shapes, band="point")
+        np.testing.assert_allclose(np.asarray(pp), np.asarray(exact),
+                                   atol=1e-5, rtol=1e-4)
+    tile = ms_deform_attn(jnp.array(value), shapes, jnp.array(loc),
+                          jnp.array(aw), impl="matmul", window=8,
+                          query_segments=shapes, band="tile")
+    assert np.abs(np.asarray(tile) - np.asarray(exact)).max() > 1e-3, \
+        "per-tile banding unexpectedly exact — test no longer distinguishes"
+
+
+def test_msda_windowed_pp_pallas_matches_matmul_fallback(rng):
+    # arbitrary (non-local) samples: both per-point paths share the
+    # clamp transform, so they must agree even when samples clamp
+    shapes = ((16, 16), (8, 8))
+    value, shapes, loc, aw = make_inputs(
+        rng, B=2, Q=sum(h * w for h, w in shapes), H=2, D=8, shapes=shapes)
+    a = ms_deform_attn(jnp.array(value), shapes, jnp.array(loc),
+                       jnp.array(aw), impl="pallas", window=8,
+                       query_segments=shapes, band="point")
+    b = ms_deform_attn(jnp.array(value), shapes, jnp.array(loc),
+                       jnp.array(aw), impl="matmul", window=8,
+                       query_segments=shapes, band="point")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               atol=1e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("D,window", [(8, 8), (128, 8)])
+def test_msda_windowed_pp_grads_match_fallback(rng, D, window):
+    """Per-point banded VJP vs the matmul fallback on the same per-point
+    clamp transform. D=128 forces the backward's narrow sub-tile path
+    (_tq_bwd < _tq_fwd) with the per-point band indices repeated across
+    sub-tiles."""
+    from egtr_tpu.ops.msda_pallas import _tq_bwd, _tq_fwd
+
+    if D == 128:
+        assert _tq_bwd(window * D) < _tq_fwd(window * D)
+    shapes = ((16, 16),)
+    value, shapes, loc, aw = make_inputs(
+        rng, B=1, Q=256, H=2, D=D, shapes=shapes)
+
+    def f(impl):
+        def g(v, l, a):
+            return ms_deform_attn(v, shapes, l, a, impl=impl,
+                                  window=window, query_segments=shapes,
+                                  band="point").sum()
+        return jax.grad(g, argnums=(0, 1, 2))(
+            jnp.array(value), jnp.array(loc), jnp.array(aw))
+
+    gp, gm = f("pallas"), f("matmul")
+    for a, b in zip(gp, gm):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4)
+
+
 def test_msda_windowed_out_of_image_is_zero(rng):
     # samples far outside the image must contribute exactly zero (the
     # clamp must not resurrect them)
@@ -534,3 +614,6 @@ def test_odd_window_rejected():
     with pytest.raises(ValueError, match="msda_window"):
         EgtrConfig(msda_window=7)
     EgtrConfig(msda_window=16)  # valid
+    with pytest.raises(ValueError, match="msda_band"):
+        EgtrConfig(msda_band="query")
+    EgtrConfig(msda_window=16, msda_band="point")  # valid
