@@ -148,18 +148,34 @@ def _offset_stats(model, cfg, params, batch):
         off = np.asarray(v).reshape(v.shape[0], v.shape[1], H, L, P, 2)
         enc_all.append(off)
     if enc_all:
-        off = np.abs(np.concatenate(enc_all, axis=1))
+        raw = np.concatenate(enc_all, axis=1)       # [B,Q,H,L,P,2] signed
+        off = np.abs(raw)
         for axis, nm in ((0, "x"), (1, "y")):
             a = off[..., axis].ravel()
             stats[f"enc_|{nm}|_p50"] = float(np.percentile(a, 50))
             stats[f"enc_|{nm}|_p90"] = float(np.percentile(a, 90))
             stats[f"enc_|{nm}|_p99"] = float(np.percentile(a, 99))
             stats[f"enc_|{nm}|_max"] = float(a.max())
-        # fraction of y-offsets a half-band of win/2 contains
+        # fraction of y-offsets a half-band of win/2 contains — the
+        # band="tile" clamp criterion (one band per query tile, so a
+        # point's MEAN offset eats into the slack)
         ay = off[..., 1].ravel()
         for win in (16, 32):
             stats[f"enc_y_within_{win//2}px"] = float(
                 (ay <= win / 2).mean())
+        # band="point" criterion: each point has its own band, so only
+        # the DEVIATION of a point's y-offset from that point's mean
+        # (per head/level/point, across queries) can clamp. The
+        # per-(H,L,P) global deviation reported here upper-bounds the
+        # within-tile deviation the kernel actually sees.
+        dev = np.abs(raw[..., 1] - raw[..., 1].mean(axis=1, keepdims=True))
+        d = dev.ravel()
+        stats["enc_y_dev_pp_p90"] = float(np.percentile(d, 90))
+        stats["enc_y_dev_pp_p99"] = float(np.percentile(d, 99))
+        stats["enc_y_dev_pp_max"] = float(d.max())
+        for win in (16, 32):
+            stats[f"enc_y_dev_pp_within_{win//2}px"] = float(
+                (d <= win / 2).mean())
     return stats
 
 
