@@ -44,6 +44,10 @@ def parse_args():
     # inference-speed knobs (weight-free; override the artifact's config)
     p.add_argument("--msda_window", type=int, default=None,
                    help="banded MSDA window for this eval run (0 = exact)")
+    p.add_argument("--msda_band", default=None, choices=["tile", "point"],
+                   help="band granularity: one band per query tile, or "
+                        "one per sampling point (more accurate on trained "
+                        "offsets at the same MXU cost)")
     p.add_argument("--msda_int8", type=str2bool, default=None)
     return p.parse_args()
 
@@ -129,6 +133,8 @@ def main():
     cfg, params = load_artifact(args.artifact_path, args)
     if args.msda_window is not None:
         cfg = cfg.replace(msda_window=args.msda_window)
+    if args.msda_band is not None:
+        cfg = cfg.replace(msda_band=args.msda_band)
     if args.msda_int8 is not None:
         cfg = cfg.replace(msda_int8=args.msda_int8)
     model = EgtrModel(cfg)

@@ -76,6 +76,16 @@ def parse_args():
     p.add_argument("--use_remat", type=str2bool, default=False)
     p.add_argument("--remat_policy", default="dots",
                    choices=["full", "dots"])
+    # opt-in approximate-MSDA training speedups (exact by default; the
+    # banded train step measured 1.87x vs exact at full-res B=2 —
+    # ROADMAP "Banded windowed BACKWARD")
+    p.add_argument("--msda_window", type=int, default=0,
+                   help="banded MSDA window (0 = exact)")
+    p.add_argument("--msda_band", default="tile",
+                   choices=["tile", "point"],
+                   help="band granularity: per query tile or per "
+                        "sampling point (more accurate, same MXU cost)")
+    p.add_argument("--msda_int8", type=str2bool, default=False)
     p.add_argument("--max_gt_boxes", type=int, default=64)
     p.add_argument("--max_gt_rels", type=int, default=192)
     p.add_argument("--dp", type=int, default=None,
@@ -143,7 +153,8 @@ def main():
         logit_adj_tau=args.logit_adj_tau,
         max_gt_boxes=args.max_gt_boxes, max_gt_rels=args.max_gt_rels,
         compute_dtype=args.compute_dtype, use_remat=args.use_remat,
-        remat_policy=args.remat_policy)
+        remat_policy=args.remat_policy, msda_window=args.msda_window,
+        msda_band=args.msda_band, msda_int8=args.msda_int8)
 
     mesh = make_mesh(dp=args.dp, mp=args.mp) if len(jax.devices()) > 1 \
         else None
