@@ -464,6 +464,9 @@ def test_msda_pallas_under_mesh(rng, monkeypatch):
     refw = ms_deform_attn(jnp.array(value), shapes, jnp.array(loc),
                           jnp.array(aw), impl="matmul", window=4,
                           query_segments=shapes)
+    refp = ms_deform_attn(jnp.array(value), shapes, jnp.array(loc),
+                          jnp.array(aw), impl="matmul", window=4,
+                          query_segments=shapes, band="point")
 
     mesh = mesh_mod.make_mesh(dp=4, mp=2)
     prev = jax.sharding.get_mesh()
@@ -478,11 +481,16 @@ def test_msda_pallas_under_mesh(rng, monkeypatch):
         outw = jax.jit(lambda v, l, a: ms_deform_attn(
             v, shapes, l, a, impl="pallas", window=4,
             query_segments=shapes))(v, l, a)
+        outp = jax.jit(lambda v, l, a: ms_deform_attn(
+            v, shapes, l, a, impl="pallas", window=4,
+            query_segments=shapes, band="point"))(v, l, a)
     finally:
         jax.sharding.set_mesh(prev)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=1e-5, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(outw), np.asarray(refw),
+                               atol=1e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(outp), np.asarray(refp),
                                atol=1e-5, rtol=1e-4)
 
 
