@@ -51,7 +51,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .msda_window import (band_starts, band_stride, fit_tile,
+from .msda_window import (band_starts, band_stride, fit_tile, query_tile,
                           segment_bounds, segment_cols, segment_rows,
                           unsegment_cols, unsegment_rows, window_rows)
 
@@ -372,9 +372,12 @@ def _level_pallas_fwd_win(Vh, bidx, ix, iy, aw, *, win, w, D, P):
     B, H, _, Nh, _ = Vh.shape
     N = 2 * Nh
     Q_pad = ix.shape[3]
-    TQ = _tq_fwd(N)
-    assert Q_pad % TQ == 0
-    n_tiles = Q_pad // TQ
+    # the tile is read off bidx: the caller chose TQ (query_tile — the
+    # VMEM-fit tile capped by the band's raster-row budget)
+    n_tiles = bidx.shape[-1]
+    assert Q_pad % n_tiles == 0
+    TQ = Q_pad // n_tiles
+    assert TQ % _LANES == 0 and TQ <= _tq_fwd(N)
 
     if bidx.ndim == 4:                                     # band="point"
         assert bidx.shape == (B, H, P, n_tiles)
@@ -1167,7 +1170,7 @@ def _msda_win_fwd(value, spatial_shapes, sampling_locations,
                                   h=hk, w=wk, D=D, P=P)[:, :, :, :Q]
         else:
             # banding is strictly on y — see msda_window docstring
-            TQ = _tq_fwd(window * D)
+            TQ = query_tile(window, D, w)
             segs = segment_bounds(Q, query_segments)
             VtT = _vtt(value_l, h, w)
             bidx, ix, iyb, _, awe, _, _ = _win_level_rows(
@@ -1224,12 +1227,12 @@ def _msda_win_bwd(spatial_shapes, window, query_segments, band, res, g):
             # each forward tile's band index is repeated across its
             # sub-tiles (every sub-tile clamps to the same band, so the
             # grads are exactly the windowed forward's).
-            TQ = _tq_fwd(window * D)
+            TQ = query_tile(window, D, w)
             segs = segment_bounds(Q, query_segments)
             gq_seg = segment_cols(gq, segs, TQ)
             bidx, ix, iyb, _, awe, inband, in_img = _win_level_rows(
                 loc_l, aw_l, h, w, window, segs, TQ, per_point)
-            TQb = _tq_bwd(window * D)
+            TQb = min(_tq_bwd(window * D), TQ)
             if TQb < TQ:
                 bidx = jnp.repeat(bidx, TQ // TQb, axis=bidx.ndim - 1)
             Vh = _half_band_blocks(_vtt(value_l, h, w), h, D, window)

@@ -54,6 +54,24 @@ def fit_tile(N: int, n_bufs: int, budget=12 * 2 ** 20) -> int:
     return max(tq, _LANES)
 
 
+def query_tile(win: int, D: int, w: int, n_bufs: int = 3) -> int:
+    """Query-tile width for a banded level: the VMEM-fit tile
+    (``fit_tile``), capped to the largest 128*2^k tile whose raster
+    queries span at most win/4 rows of a w-wide level. A tile's own
+    query span eats band slack exactly like a sampling offset (the band
+    is centered on the tile's weighted-mean sample row, and band starts
+    quantize to the win/2 stride, costing up to win/4 of slack by
+    themselves), so tiles on narrow levels must shrink for small
+    windows to stay accurate — at w=63, a 512-query tile spans ~8 rows,
+    consuming a window-8 band before a single offset is applied.
+    Power-of-two multiples of 128 keep the forward and the (narrower)
+    backward tiles nesting cleanly."""
+    cap = _LANES
+    while cap * 2 <= max(w * win // 4, _LANES):
+        cap *= 2
+    return min(fit_tile(win * D, n_bufs), cap)
+
+
 def band_stride(win: int) -> int:
     return max(win // 2, 1)
 
@@ -205,7 +223,7 @@ def windowed_level_coords(loc_l, aw_l, h: int, w: int, win: int,
     banding the 100x168 full-res level 0 on x to save one 128-lane K
     tile destroys the in-band-exactness contract).
     """
-    TQ = fit_tile(win * D, 3)
+    TQ = query_tile(win, D, w)
     segs = segment_bounds(Q, query_segments)
     iy = segment_rows(loc_l[..., 1].astype(jnp.float32) * h - 0.5, segs, TQ)
     awr = segment_rows(aw_l.astype(jnp.float32), segs, TQ)

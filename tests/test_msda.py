@@ -354,6 +354,38 @@ def test_msda_windowed_pp_grads_match_fallback(rng, D, window):
                                    atol=1e-4, rtol=1e-4)
 
 
+def test_msda_query_tile_row_budget():
+    """query_tile caps the VMEM-fit tile so one tile's raster queries
+    span at most win/2 rows (power-of-two multiples of 128)."""
+    from egtr_tpu.ops.msda_window import fit_tile, query_tile
+
+    assert query_tile(8, 32, 63) == 128        # 63*2=126 -> 128 floor
+    assert query_tile(8, 32, 125) == 128       # 250 -> 128
+    assert query_tile(16, 32, 125) == 256      # 500 -> 256
+    assert query_tile(32, 32, 125) == 512      # 1000 -> 512 = VMEM cap
+    assert query_tile(16, 32, 8) == 128        # floor at one lane tile
+    for win, D, w in ((8, 32, 63), (16, 128, 125)):
+        assert query_tile(win, D, w) <= fit_tile(win * D, 3)
+
+
+def test_msda_windowed_narrow_level_small_window_is_exact(rng):
+    """On a narrow level (w=64) a VMEM-sized 512-query tile spans 8
+    raster rows — a window-8 band would be consumed by the tile's own
+    query span and clamp even sub-pixel offsets. The row-budget tile cap
+    (query_tile: span <= win/4 rows) shrinks the tile so small windows
+    stay exact."""
+    shapes = ((32, 64),)
+    value, loc, aw = make_raster_inputs(rng, shapes, max_offset_px=0.5)
+    exact = ms_deform_attn(jnp.array(value), shapes, jnp.array(loc),
+                           jnp.array(aw), impl="pallas")
+    for band in ("tile", "point"):
+        win = ms_deform_attn(jnp.array(value), shapes, jnp.array(loc),
+                             jnp.array(aw), impl="pallas", window=8,
+                             query_segments=shapes, band=band)
+        np.testing.assert_allclose(np.asarray(win), np.asarray(exact),
+                                   atol=1e-5, rtol=1e-4)
+
+
 def test_msda_windowed_out_of_image_is_zero(rng):
     # samples far outside the image must contribute exactly zero (the
     # clamp must not resurrect them)
