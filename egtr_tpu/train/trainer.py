@@ -80,9 +80,17 @@ def fit(model, cfg: EgtrConfig, *, train_loader, val_loader, log_dir: str,
                         grad_clip, initialized_paths=initialized_paths)
     ckpt = CheckpointManager(os.path.join(log_dir, "checkpoints"))
 
-    train_step = make_train_step(model, cfg, tx, task=task,
-                                 accum_steps=accum_steps)
-    eval_step = make_eval_step(model, cfg, task=task)
+    # EGTR_AOT_CACHE=1 warm-starts both programs from serialized
+    # executables (utils/aot.py) — the only mechanism that skips XLA for
+    # Pallas programs on backends whose persistent cache can't (axon);
+    # no-op (identity) when disabled, non-jitted (accum>1), or multi-host
+    from ..utils.aot import maybe_aot
+
+    train_step = maybe_aot(make_train_step(model, cfg, tx, task=task,
+                                           accum_steps=accum_steps),
+                           tag=f"train_{task}")
+    eval_step = maybe_aot(make_eval_step(model, cfg, task=task),
+                          tag=f"eval_{task}")
 
     rng = jax.random.PRNGKey(seed)
     if init_params is None:

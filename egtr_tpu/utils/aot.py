@@ -58,11 +58,17 @@ def maybe_aot(jfn, tag: str):
     """Wrap a jitted callable with the AOT executable cache, dispatching
     per argument-shape signature (a ``Compiled`` is shape-specialized;
     bucketed loaders feed a handful of distinct shapes). Returns ``jfn``
-    unchanged when the cache is disabled, so call sites can wrap
-    unconditionally."""
-    if aot_cache_dir() is None:
+    unchanged when the cache is disabled, when ``jfn`` is not a jitted
+    function (no ``.lower`` — e.g. the grad-accumulation train step is a
+    plain Python loop over inner programs), or under multi-process
+    execution (serialized executables pin a single-process device
+    assignment) — so call sites can wrap unconditionally."""
+    if aot_cache_dir() is None or not hasattr(jfn, "lower"):
         return jfn
     import jax
+
+    if jax.process_count() > 1:
+        return jfn
 
     compiled = {}
 

@@ -89,6 +89,39 @@ def test_aot_cache_sharded_program_roundtrip(tmp_path):
     np.testing.assert_allclose(np.asarray(c2(x)), np.arange(32.0) * 2.0)
 
 
+def test_maybe_aot_trainer_wiring(tmp_path, monkeypatch):
+    """The trainer wraps its steps unconditionally: maybe_aot must be the
+    identity for non-jitted callables (the accum>1 train step is a plain
+    Python loop) and must round-trip a DONATED jitted program (the
+    train step donates its state) with identical numerics, including a
+    traced trailing float arg (lr_scale)."""
+    import functools
+
+    from egtr_tpu.utils import aot
+
+    monkeypatch.setenv("EGTR_AOT_CACHE_DIR", str(tmp_path))
+
+    def plain(x):
+        return x
+
+    assert aot.maybe_aot(plain, "p") is plain
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(s, g, lr_scale=1.0):
+        return jax.tree.map(lambda a, b: a - lr_scale * b, s, g)
+
+    grads = {"w": jnp.ones(4)}
+    want = np.arange(4.0) - 0.5
+    out = aot.maybe_aot(step, "ts")({"w": jnp.arange(4.0)}, grads, 0.5)
+    np.testing.assert_allclose(np.asarray(out["w"]), want)
+    assert len(list(tmp_path.glob("ts-*.exec"))) == 1
+    # a fresh wrapper loads the serialized executable; lr_scale stays a
+    # runtime arg (different value, same executable)
+    out2 = aot.maybe_aot(step, "ts")({"w": jnp.arange(4.0)}, grads, 0.25)
+    np.testing.assert_allclose(np.asarray(out2["w"]), np.arange(4.0) - 0.25)
+    assert len(list(tmp_path.glob("ts-*.exec"))) == 1
+
+
 def test_maybe_aot_shape_dispatch(tmp_path, monkeypatch):
     """maybe_aot wraps a jitted fn with per-shape Compiled dispatch when
     the cache is enabled, and is the identity when disabled."""
