@@ -251,15 +251,17 @@ def test_msda_windowed_bwd_subtile_grads(rng):
     documented window=32/D=32 config). Each forward tile's band index is
     repeated across the backward sub-tiles; grads must still match the
     matmul fallback exactly."""
-    from egtr_tpu.ops.msda_pallas import _tq_bwd, _tq_fwd
+    from egtr_tpu.ops.msda_pallas import _tq_bwd
+    from egtr_tpu.ops.msda_window import query_tile
 
-    D, window = 128, 8
-    assert _tq_bwd(window * D) < _tq_fwd(window * D), (
+    D, window = 128, 16
+    shapes = ((32, 64),)
+    (h, w), = shapes
+    assert _tq_bwd(window * D) < query_tile(window, D, w), (
         "test no longer exercises the sub-tile path — pick dims where "
-        "the bwd tile is smaller than the fwd tile")
-    shapes = ((16, 16),)
+        "the bwd tile is smaller than the (row-budget-capped) fwd tile")
     value, shapes, loc, aw = make_inputs(
-        rng, B=1, Q=256, H=2, D=D, shapes=shapes)
+        rng, B=1, Q=h * w, H=2, D=D, shapes=shapes)
 
     def f(impl):
         def g(v, l, a):
@@ -326,19 +328,23 @@ def test_msda_windowed_pp_pallas_matches_matmul_fallback(rng):
                                atol=1e-5, rtol=1e-4)
 
 
-@pytest.mark.parametrize("D,window", [(8, 8), (128, 8)])
-def test_msda_windowed_pp_grads_match_fallback(rng, D, window):
+@pytest.mark.parametrize("D,window,shapes", [
+    (8, 8, ((16, 16),)),
+    (128, 16, ((32, 64),)),   # forces the narrow sub-tile backward
+])
+def test_msda_windowed_pp_grads_match_fallback(rng, D, window, shapes):
     """Per-point banded VJP vs the matmul fallback on the same per-point
-    clamp transform. D=128 forces the backward's narrow sub-tile path
-    (_tq_bwd < _tq_fwd) with the per-point band indices repeated across
-    sub-tiles."""
-    from egtr_tpu.ops.msda_pallas import _tq_bwd, _tq_fwd
+    clamp transform. The D=128 config forces the backward's narrow
+    sub-tile path (_tq_bwd < the row-budget-capped forward tile) with
+    the per-point band indices repeated across sub-tiles."""
+    from egtr_tpu.ops.msda_pallas import _tq_bwd
+    from egtr_tpu.ops.msda_window import query_tile
 
     if D == 128:
-        assert _tq_bwd(window * D) < _tq_fwd(window * D)
-    shapes = ((16, 16),)
+        assert _tq_bwd(window * D) < query_tile(window, D, shapes[0][1])
+    (h, w), = shapes
     value, shapes, loc, aw = make_inputs(
-        rng, B=1, Q=256, H=2, D=D, shapes=shapes)
+        rng, B=1, Q=h * w, H=2, D=D, shapes=shapes)
 
     def f(impl):
         def g(v, l, a):
