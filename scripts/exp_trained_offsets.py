@@ -123,6 +123,54 @@ def cmd_train(args):
           f"artifact at {args.out}/artifact", flush=True)
 
 
+def _clamp_fracs(enc_offs, enc_aws, shapes, D):
+    """Attention-weighted fraction of in-image encoder samples CLAMPED by
+    each (window, band) variant — computed with the production band
+    machinery (query_tile / segment_rows / window_rows) on the captured
+    offsets, so it is exactly the approximation's miss rate without any
+    extra model compile. enc_offs/enc_aws: per-layer lists of
+    [B,Q,H,L,P,2] offsets (level px) and softmaxed [B,Q,H,L,P] weights."""
+    import jax.numpy as jnp
+
+    from egtr_tpu.ops.msda_window import (query_tile, segment_bounds,
+                                          segment_rows, window_rows)
+
+    Q = sum(h * w for h, w in shapes)
+    # encoder reference points = each query's own raster center,
+    # normalized per level (valid_ratios = 1 on unpadded images)
+    refs = []
+    for (h, w) in shapes:
+        yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        refs.append(np.stack([(xx.ravel() + 0.5) / w,
+                              (yy.ravel() + 0.5) / h], -1))
+    ref = np.concatenate(refs, 0)                            # [Q, 2]
+
+    out = {}
+    for win in (8, 16, 32):
+        for band in ("tile", "point"):
+            wsum = csum = 0.0
+            for off, aw in zip(enc_offs, enc_aws):
+                for lid, (h, w) in enumerate(shapes):
+                    if h <= win:
+                        continue
+                    TQ = query_tile(win, D, w)
+                    segs = segment_bounds(Q, shapes)
+                    loc_y = ref[None, :, None, None, 1] \
+                        + off[:, :, :, lid, :, 1] / h        # [B,Q,H,P]
+                    iy = segment_rows(jnp.asarray(loc_y * h - 0.5),
+                                      segs, TQ)
+                    awr = segment_rows(
+                        jnp.asarray(aw[:, :, :, lid]), segs, TQ)
+                    _, _, _, awe, inband, in_img = window_rows(
+                        iy, awr, h, win, TQ, per_point=band == "point")
+                    w_in = np.asarray(jnp.where(in_img, awe, 0.0))
+                    wsum += float(w_in.sum())
+                    csum += float((w_in * ~np.asarray(inband)).sum())
+            out[f"clamp_frac_win{win}_{band}"] = (
+                csum / wsum if wsum else 0.0)
+    return out
+
+
 def _offset_stats(model, cfg, params, batch):
     """Histogram the ENCODER sampling offsets (raw Dense outputs are in
     level pixels — deformable_detr.py:1066-1073 normalizes by (w, h))."""
@@ -130,7 +178,8 @@ def _offset_stats(model, cfg, params, batch):
     import jax.numpy as jnp
 
     def filt(mdl, _method):
-        return getattr(mdl, "name", None) == "sampling_offsets"
+        return getattr(mdl, "name", None) in ("sampling_offsets",
+                                              "attention_weights")
 
     _, inter = model.apply(
         params, jnp.asarray(batch["pixel_values"]),
@@ -141,12 +190,26 @@ def _offset_stats(model, cfg, params, batch):
                cfg.encoder_n_points)
     stats = {}
     enc_all = []
+    enc_aws = {}
     for path, v in flat:
         name = "/".join(str(getattr(p, "key", p)) for p in path)
-        if "encoder" not in name:
+        # NOT plain "encoder": the decoder cross-attention module is
+        # named `encoder_attn` and would leak decoder offsets in here
+        if "encoder_layer_" not in name:
+            continue
+        layer = name.split("encoder_layer_")[-1].split("/")[0]
+        if "attention_weights" in name:
+            aw = jax.nn.softmax(
+                np.asarray(v).reshape(v.shape[0], v.shape[1], H, L * P),
+                axis=-1)
+            enc_aws[layer] = np.asarray(aw).reshape(
+                v.shape[0], v.shape[1], H, L, P)
             continue
         off = np.asarray(v).reshape(v.shape[0], v.shape[1], H, L, P, 2)
-        enc_all.append(off)
+        enc_all.append((layer, off))
+    enc_all.sort(key=lambda t: t[0])
+    ordered_aws = [enc_aws[lyr] for lyr, _ in enc_all if lyr in enc_aws]
+    enc_all = [off for _, off in enc_all]
     if enc_all:
         raw = np.concatenate(enc_all, axis=1)       # [B,Q,H,L,P,2] signed
         off = np.abs(raw)
@@ -176,6 +239,13 @@ def _offset_stats(model, cfg, params, batch):
         for win in (16, 32):
             stats[f"enc_y_dev_pp_within_{win//2}px"] = float(
                 (d <= win / 2).mean())
+        # exact clamp fractions through the production band machinery
+        if len(ordered_aws) == len(enc_all):
+            Hpix, Wpix = batch["pixel_values"].shape[1:3]
+            shapes = tuple((-(-Hpix // s), -(-Wpix // s))
+                           for s in (8, 16, 32, 64))[:L]
+            stats.update(_clamp_fracs(enc_all, ordered_aws, shapes,
+                                      cfg.d_model // H))
     return stats
 
 
