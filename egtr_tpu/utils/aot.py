@@ -73,8 +73,15 @@ def maybe_aot(jfn, tag: str):
     compiled = {}
 
     def call(*args):
+        # the key must cover SHARDINGS too, not just shapes: a Compiled
+        # is placement-specialized and, unlike jit, does not re-lower —
+        # under a single-process multi-device mesh, step 1's output
+        # shardings (compiler-chosen, donated back in) or the precompile
+        # warm thread's unsharded zeros would otherwise collide with
+        # differently-placed arguments and fail at dispatch
         key = tuple(
-            (getattr(a, "shape", None), str(getattr(a, "dtype", type(a))))
+            (getattr(a, "shape", None), str(getattr(a, "dtype", type(a))),
+             str(getattr(a, "sharding", None)))
             for a in jax.tree_util.tree_leaves(args))
         c = compiled.get(key)
         if c is None:

@@ -144,28 +144,28 @@ def _clamp_fracs(enc_offs, enc_aws, shapes, D):
         refs.append(np.stack([(xx.ravel() + 0.5) / w,
                               (yy.ravel() + 0.5) / h], -1))
     ref = np.concatenate(refs, 0)                            # [Q, 2]
+    segs = segment_bounds(Q, shapes)
 
     out = {}
     for win in (8, 16, 32):
-        for band in ("tile", "point"):
-            wsum = csum = 0.0
-            for off, aw in zip(enc_offs, enc_aws):
-                for lid, (h, w) in enumerate(shapes):
-                    if h <= win:
-                        continue
-                    TQ = query_tile(win, D, w)
-                    segs = segment_bounds(Q, shapes)
-                    loc_y = ref[None, :, None, None, 1] \
-                        + off[:, :, :, lid, :, 1] / h        # [B,Q,H,P]
-                    iy = segment_rows(jnp.asarray(loc_y * h - 0.5),
-                                      segs, TQ)
-                    awr = segment_rows(
-                        jnp.asarray(aw[:, :, :, lid]), segs, TQ)
+        sums = {"tile": [0.0, 0.0], "point": [0.0, 0.0]}  # [clamped, in]
+        for off, aw in zip(enc_offs, enc_aws):
+            for lid, (h, w) in enumerate(shapes):
+                if h <= win:
+                    continue
+                TQ = query_tile(win, D, w)
+                loc_y = ref[None, :, None, None, 1] \
+                    + off[:, :, :, lid, :, 1] / h            # [B,Q,H,P]
+                iy = segment_rows(jnp.asarray(loc_y * h - 0.5), segs, TQ)
+                awr = segment_rows(jnp.asarray(aw[:, :, :, lid]), segs, TQ)
+                for band in ("tile", "point"):
                     _, _, _, awe, inband, in_img = window_rows(
                         iy, awr, h, win, TQ, per_point=band == "point")
                     w_in = np.asarray(jnp.where(in_img, awe, 0.0))
-                    wsum += float(w_in.sum())
-                    csum += float((w_in * ~np.asarray(inband)).sum())
+                    sums[band][0] += float((w_in * ~np.asarray(inband)
+                                            ).sum())
+                    sums[band][1] += float(w_in.sum())
+        for band, (csum, wsum) in sums.items():
             out[f"clamp_frac_win{win}_{band}"] = (
                 csum / wsum if wsum else 0.0)
     return out
@@ -228,10 +228,14 @@ def _offset_stats(model, cfg, params, batch):
                 (ay <= win / 2).mean())
         # band="point" criterion: each point has its own band, so only
         # the DEVIATION of a point's y-offset from that point's mean
-        # (per head/level/point, across queries) can clamp. The
-        # per-(H,L,P) global deviation reported here upper-bounds the
+        # (per LAYER/head/level/point, across queries — each encoder
+        # layer has its own offsets Dense and selects bands
+        # independently, so the mean must not pool layers) can clamp.
+        # This per-(layer,H,L,P) global deviation upper-bounds the
         # within-tile deviation the kernel actually sees.
-        dev = np.abs(raw[..., 1] - raw[..., 1].mean(axis=1, keepdims=True))
+        dev = np.concatenate(
+            [np.abs(o[..., 1] - o[..., 1].mean(axis=1, keepdims=True))
+             for o in enc_all], axis=1)
         d = dev.ravel()
         stats["enc_y_dev_pp_p90"] = float(np.percentile(d, 90))
         stats["enc_y_dev_pp_p99"] = float(np.percentile(d, 99))

@@ -89,6 +89,28 @@ def test_aot_cache_sharded_program_roundtrip(tmp_path):
     np.testing.assert_allclose(np.asarray(c2(x)), np.arange(32.0) * 2.0)
 
 
+def test_maybe_aot_sharding_in_dispatch_key(tmp_path, monkeypatch):
+    """Same shape, different placement must NOT collide: a Compiled is
+    placement-specialized and does not re-lower like jit — under a
+    single-process mesh, donated-back outputs (compiler-chosen
+    shardings) or the precompile warm thread's unsharded zeros would
+    hit the shape-only key and fail at dispatch."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+    from egtr_tpu.utils import aot
+
+    monkeypatch.setenv("EGTR_AOT_CACHE_DIR", str(tmp_path))
+    g = aot.maybe_aot(jax.jit(lambda v: v * 2.0), "shkey")
+
+    x = jnp.arange(32.0)
+    np.testing.assert_allclose(np.asarray(g(x)), np.arange(32.0) * 2.0)
+
+    mesh = Mesh(np.array(jax.devices()).reshape(8), ("data",))
+    xs = jax.device_put(x, NamedSharding(mesh, PartitionSpec("data")))
+    np.testing.assert_allclose(np.asarray(g(xs)), np.arange(32.0) * 2.0)
+    assert len(list(tmp_path.glob("shkey-*.exec"))) == 2
+
+
 def test_maybe_aot_trainer_wiring(tmp_path, monkeypatch):
     """The trainer wraps its steps unconditionally: maybe_aot must be the
     identity for non-jitted callables (the accum>1 train step is a plain

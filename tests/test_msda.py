@@ -362,7 +362,7 @@ def test_msda_windowed_pp_grads_match_fallback(rng, D, window, shapes):
 
 def test_msda_query_tile_row_budget():
     """query_tile caps the VMEM-fit tile so one tile's raster queries
-    span at most win/2 rows (power-of-two multiples of 128)."""
+    span at most win/4 rows (power-of-two multiples of 128)."""
     from egtr_tpu.ops.msda_window import fit_tile, query_tile
 
     assert query_tile(8, 32, 63) == 128        # 63*2=126 -> 128 floor
