@@ -3,6 +3,7 @@
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from egtr_tpu.config import EgtrConfig
 from egtr_tpu.models.egtr import EgtrModel
@@ -373,6 +374,39 @@ def test_split_microbatches_preserves_all_keys():
     batch["scalar"] = np.float32(1.0)
     with pytest.raises(ValueError):
         split_microbatches(batch, 2)
+
+
+@pytest.mark.parametrize("band", ["tile", "point"])
+def test_windowed_train_step(band):
+    """The full train step runs with banded MSDA (the opt-in training
+    speedup now exposed by train_egtr --msda_window/--msda_band):
+    finite loss/grads, trainables move, and at random init (directional
+    offsets ~ +-P px) the windowed loss stays close to the exact one."""
+    cfg = TINY.replace(msda_window=8, msda_band=band, dropout=0.0)
+    model = EgtrModel(cfg)
+    batch = make_batch(H=128, W=128)  # level 0 = 16x16 > window
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.asarray(batch["pixel_values"][:1]))
+    tx = make_optimizer(lr=1e-3, lr_backbone=1e-4, lr_initialized=1e-3)
+    p0 = jax.tree.map(np.asarray, params["params"])
+    state = create_state(params, tx)
+    step = make_train_step(model, cfg, tx)
+    new_state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["total_loss"]))
+    assert float(metrics["grad_norm"]) > 0
+    assert not np.array_equal(
+        np.asarray(p0["model"]["decoder_layer_0"]["fc1"]["kernel"]),
+        np.asarray(new_state.params["params"]["model"]["decoder_layer_0"]
+                   ["fc1"]["kernel"]))
+
+    cfg_e = cfg.replace(msda_window=0)
+    step_e = make_train_step(EgtrModel(cfg_e), cfg_e, tx)
+    state_e = create_state(
+        EgtrModel(cfg_e).init(jax.random.PRNGKey(0),
+                              jnp.asarray(batch["pixel_values"][:1])), tx)
+    _, metrics_e = step_e(state_e, batch, jax.random.PRNGKey(1))
+    exact = float(metrics_e["total_loss"])
+    assert abs(float(metrics["total_loss"]) - exact) < 0.05 * abs(exact)
 
 
 def test_config_validation():
