@@ -85,6 +85,13 @@ def cmd_train(args):
                                                 cfg.use_log_softmax)
     params["params"]["rel_dist"] = rel_dist
     params["params"]["triplet_dist"] = triplet_dist
+    if args.resume:
+        # continue training from a previous invocation's artifact (the
+        # axon-tunnel train-step compile is minutes — paying it again is
+        # cheaper than losing the already-trained offsets)
+        from egtr_tpu.train.checkpoint import load_pretrained
+        _, prev = load_pretrained(os.path.join(args.out, "artifact"))
+        params = prev
 
     # accelerated from-scratch recipe: offsets sit in the "backbone" LR
     # group (optim.param_label), so lr_backbone controls how fast they
@@ -93,16 +100,22 @@ def cmd_train(args):
     tx = make_optimizer(lr=args.lr, lr_backbone=args.lr_backbone,
                         lr_initialized=None, initialized_paths=[])
     state = create_state(params, tx)
-    step_fn = make_train_step(model, cfg, tx, task="sgg")
+    from egtr_tpu.utils.aot import maybe_aot
+    step_fn = maybe_aot(make_train_step(model, cfg, tx, task="sgg"),
+                        tag="exp_train")
 
-    t0 = time.time()
+    t0 = None  # clock starts at the FIRST COMPLETED step: the train-step
+    # compile over the axon tunnel is minutes and must not eat the budget
     step = 0
     log = open(os.path.join(args.out, "train_log.jsonl"), "a")
-    while time.time() - t0 < args.train_seconds:
+    while t0 is None or time.time() - t0 < args.train_seconds:
         for batch in loader:
             rng, k = jax.random.split(rng)
             state, metrics = step_fn(state, batch, k)
             step += 1
+            if t0 is None:
+                jax.block_until_ready(metrics)
+                t0 = time.time()
             if step % 50 == 0:
                 m = {k_: float(v) for k_, v in metrics.items()}
                 rec = {"step": step, "sec": round(time.time() - t0, 1),
@@ -278,6 +291,14 @@ def _sweep_eval(model, cfg, params, ds, batch_size, buckets):
             "logits", "pred_boxes", "pred_rel", "pred_connectivity")}
         return post
 
+    # EGTR_AOT_CACHE=1: each (window, band, int8) variant is its own
+    # program; warm re-sweeps after further training load in ~1-2 s
+    # instead of recompiling minutes of Mosaic kernels (utils/aot.py)
+    from egtr_tpu.utils.aot import maybe_aot
+    tag = (f"sweep_w{cfg.msda_window}{cfg.msda_band[0]}"
+           + ("_i8" if cfg.msda_int8 else ""))
+    infer = maybe_aot(infer, tag=tag)
+
     loader = Loader(ds, batch_size, shuffle=False, max_gt=cfg.max_gt_boxes,
                     num_rel_labels=cfg.num_rel_labels,
                     buckets=buckets, num_workers=2)
@@ -448,7 +469,11 @@ def main():
     ap.add_argument("--int8", action="store_true",
                     help="sweep also evaluates int8 and win16+int8 "
                          "variants (two more compiles)")
-    ap.add_argument("--train_seconds", type=int, default=3600 * 3)
+    ap.add_argument("--train_seconds", type=int, default=3600 * 3,
+                    help="post-compile training budget (the clock starts "
+                         "at the first completed step)")
+    ap.add_argument("--resume", action="store_true",
+                    help="train: start from --out/artifact instead of init")
     ap.add_argument("--ckpt_every", type=int, default=500)
     ap.add_argument("--size", type=int, default=600)
     ap.add_argument("--max_size", type=int, default=1000)
