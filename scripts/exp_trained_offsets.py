@@ -71,11 +71,27 @@ def cmd_train(args):
     import jax.numpy as jnp
 
     from egtr_tpu.models.egtr import compute_freq_dists
-    from egtr_tpu.train.checkpoint import save_pretrained
+    from egtr_tpu.train.checkpoint import (CheckpointManager, save_pretrained)
     from egtr_tpu.train.optim import make_optimizer
     from egtr_tpu.train.train_step import create_state, make_train_step
 
-    cfg, model, loader, fg, _ = build(args)
+    if args.resume:
+        # Resume must reproduce the producing run's architecture: rebuild
+        # cfg from the artifact's config.json, not from CLI flags (numeric
+        # flag drift would otherwise silently train a different config and
+        # overwrite the artifact).
+        from egtr_tpu.config import EgtrConfig
+        saved = EgtrConfig.load(
+            os.path.join(args.out, "artifact", "config.json"))
+        cfg, model, loader, fg, _ = build(args)
+        if saved != cfg:
+            diff = [f for f in saved.__dataclass_fields__
+                    if getattr(saved, f) != getattr(cfg, f)]
+            raise SystemExit(
+                f"--resume: CLI-derived config disagrees with the "
+                f"artifact's on fields {diff}; rerun with matching flags")
+    else:
+        cfg, model, loader, fg, _ = build(args)
     rng = jax.random.PRNGKey(args.seed)
     rng, init_key = jax.random.split(rng)
     h, w = loader.init_shape
@@ -85,13 +101,6 @@ def cmd_train(args):
                                                 cfg.use_log_softmax)
     params["params"]["rel_dist"] = rel_dist
     params["params"]["triplet_dist"] = triplet_dist
-    if args.resume:
-        # continue training from a previous invocation's artifact (the
-        # axon-tunnel train-step compile is minutes — paying it again is
-        # cheaper than losing the already-trained offsets)
-        from egtr_tpu.train.checkpoint import load_pretrained
-        _, prev = load_pretrained(os.path.join(args.out, "artifact"))
-        params = prev
 
     # accelerated from-scratch recipe: offsets sit in the "backbone" LR
     # group (optim.param_label), so lr_backbone controls how fast they
@@ -100,19 +109,39 @@ def cmd_train(args):
     tx = make_optimizer(lr=args.lr, lr_backbone=args.lr_backbone,
                         lr_initialized=None, initialized_paths=[])
     state = create_state(params, tx)
+    mngr = CheckpointManager(os.path.join(args.out, "state"), max_to_keep=2)
+    if args.resume:
+        # full-TrainState resume: params AND AdamW moments AND the step
+        # counter (a weights-only warm start restarts Adam cold at these
+        # flat high LRs and double-counts step numbers in the log)
+        restored = mngr.restore(state)
+        if restored is None:
+            raise SystemExit(f"--resume: no state checkpoint under "
+                             f"{args.out}/state")
+        state = restored
     from egtr_tpu.utils.aot import maybe_aot
     step_fn = maybe_aot(make_train_step(model, cfg, tx, task="sgg"),
                         tag="exp_train")
 
     t0 = None  # clock starts at the FIRST COMPLETED step: the train-step
     # compile over the axon tunnel is minutes and must not eat the budget
-    step = 0
+    step = int(state.step)
     log = open(os.path.join(args.out, "train_log.jsonl"), "a")
+    # run-header record: resumed runs append to the same file, and without
+    # a delimiter the mixed clocks/step ranges cannot be parsed into runs
+    log.write(json.dumps({
+        "run_header": True, "utc": time.strftime("%Y-%m-%dT%H:%M:%SZ",
+                                                 time.gmtime()),
+        "resume": bool(args.resume), "start_step": step,
+        "args": {k: v for k, v in vars(args).items()}}) + "\n")
+    log.flush()
     while t0 is None or time.time() - t0 < args.train_seconds:
+        epoch_steps = 0
         for batch in loader:
             rng, k = jax.random.split(rng)
             state, metrics = step_fn(state, batch, k)
             step += 1
+            epoch_steps += 1
             if t0 is None:
                 jax.block_until_ready(metrics)
                 t0 = time.time()
@@ -129,11 +158,17 @@ def cmd_train(args):
             if step % args.ckpt_every == 0:
                 save_pretrained(os.path.join(args.out, "artifact"), cfg,
                                 state.params)
+                mngr.save(step, state, force=True)
             if time.time() - t0 >= args.train_seconds:
                 break
+        if epoch_steps == 0:
+            raise SystemExit("loader yielded no batches — dataset empty or "
+                             "every image filtered out")
     save_pretrained(os.path.join(args.out, "artifact"), cfg, state.params)
-    print(f"[exp] trained {step} steps in {time.time()-t0:.0f}s; "
-          f"artifact at {args.out}/artifact", flush=True)
+    if mngr.latest_step() != step:
+        mngr.save(step, state, force=True)
+    print(f"[exp] trained to step {step} in {time.time()-(t0 or time.time()):.0f}s"
+          f" this run; artifact at {args.out}/artifact", flush=True)
 
 
 def _clamp_fracs(enc_offs, enc_aws, shapes, D):
