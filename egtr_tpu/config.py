@@ -147,6 +147,10 @@ class EgtrConfig:
             raise ValueError(
                 f"msda_band must be 'tile' or 'point', got "
                 f"{self.msda_band!r}")
+        if self.activation_function not in ("relu", "gelu", "silu"):
+            raise ValueError(
+                f"activation_function must be one of relu/gelu/silu, got "
+                f"{self.activation_function!r}")
 
     @property
     def head_dim(self) -> int:

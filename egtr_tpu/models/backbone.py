@@ -89,12 +89,16 @@ class FrozenBatchNorm(nn.Module):
 
 
 class Bottleneck(nn.Module):
-    """torchvision/timm-style bottleneck v1.5 (stride on the 3x3 conv)."""
+    """torchvision/timm-style bottleneck v1.5 (stride on the 3x3 conv).
+
+    ``dilation`` dilates the 3x3 conv (timm passes it as the block's
+    ``first_dilation``; padding == dilation keeps the spatial size)."""
 
     width: int          # bottleneck width (e.g. 64 for layer1)
     stride: int = 1
     downsample: bool = False
     expansion: int = 4
+    dilation: int = 1
 
     @nn.compact
     def __call__(self, x):
@@ -104,7 +108,9 @@ class Bottleneck(nn.Module):
         out = nn.relu(out)
         out = nn.Conv(
             self.width, (3, 3), strides=(self.stride, self.stride),
-            padding=[(1, 1), (1, 1)], use_bias=False, name="conv2",
+            padding=[(self.dilation, self.dilation)] * 2,
+            kernel_dilation=(self.dilation, self.dilation),
+            use_bias=False, name="conv2",
         )(out)
         out = FrozenBatchNorm(self.width, name="bn2")(out)
         out = nn.relu(out)
@@ -127,13 +133,20 @@ class ResNet50(nn.Module):
     """ResNet-50 trunk returning (C3, C4, C5) feature maps, NHWC.
 
     Matches timm ``resnet50(features_only=True, out_indices=(2,3,4))``
-    used by the reference (deformable_detr.py:748-756).
+    used by the reference (deformable_detr.py:748-756). ``dilation=True``
+    is timm's ``output_stride=16`` (the config's ``dilation`` flag,
+    deformable_detr.py:144,751): layer4 keeps stride 16 — its first
+    block's stride moves into dilation (first block's 3x3 stays
+    dilation 1 = timm's ``first_dilation=prev_dilation``; later blocks
+    dilate by 2) and the downsample conv drops its stride. Same params,
+    so checkpoints convert 1:1 either way.
     """
 
     blocks: Sequence[int] = (3, 4, 6, 3)
     widths: Sequence[int] = (64, 128, 256, 512)
     out_stages: Sequence[int] = (2, 3, 4)  # C3, C4, C5 (1-indexed stages 2..4)
     dtype: jnp.dtype = jnp.float32
+    dilation: bool = False
 
     @nn.compact
     def __call__(self, x) -> Tuple[jnp.ndarray, ...]:
@@ -147,12 +160,14 @@ class ResNet50(nn.Module):
 
         outs = []
         for stage, (n_blocks, width) in enumerate(zip(self.blocks, self.widths)):
-            stride = 1 if stage == 0 else 2
+            dilate = self.dilation and stage == 3
+            stride = 1 if stage == 0 or dilate else 2
             for b in range(n_blocks):
                 x = Bottleneck(
                     width=width,
                     stride=stride if b == 0 else 1,
                     downsample=(b == 0),
+                    dilation=2 if (dilate and b > 0) else 1,
                     name=f"layer{stage + 1}_{b}",
                 )(x)
             if (stage + 1) in self.out_stages:

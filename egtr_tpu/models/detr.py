@@ -32,15 +32,17 @@ from .layers import (DecoderLayer, EncoderLayer, MLPHead,
                      default_kernel_init)
 
 
-def level_shapes(image_hw: Tuple[int, int], num_levels: int) -> Tuple[Tuple[int, int], ...]:
+def level_shapes(image_hw: Tuple[int, int], num_levels: int,
+                 dilation: bool = False) -> Tuple[Tuple[int, int], ...]:
     """Static per-level (h, w) for a padded image shape.
 
     Matches conv stride arithmetic: C3..C5 are ceil(H/8,16,32); the extra
-    level is a stride-2 3x3 conv on C5 -> ceil(C5/2).
+    level is a stride-2 3x3 conv on C5 -> ceil(C5/2). With ``dilation``
+    (timm output_stride=16) C5 stays at stride 16.
     """
     H, W = image_hw
     shapes = []
-    for s in (8, 16, 32):
+    for s in (8, 16, 16 if dilation else 32):
         shapes.append((math.ceil(H / s), math.ceil(W / s)))
     while len(shapes) < num_levels:
         h, w = shapes[-1]
@@ -109,9 +111,10 @@ class DeformableDetrBase(nn.Module):
         no_mask = pixel_mask is None
 
         # ---- backbone (C3, C4, C5) ----
-        feats = ResNet50(dtype=dtype, name="backbone")(pixel_values)
+        feats = ResNet50(dtype=dtype, dilation=cfg.dilation,
+                         name="backbone")(pixel_values)
 
-        shapes = level_shapes((H_img, W_img), Lv)
+        shapes = level_shapes((H_img, W_img), Lv, cfg.dilation)
         if cfg.position_embedding_type == "learned":
             # 50x50 learned table (deformable_detr.py:880-906)
             learned_rows = self.param(
@@ -204,6 +207,7 @@ class DeformableDetrBase(nn.Module):
             hidden = EncLayer(
                 E, cfg.encoder_ffn_dim, cfg.encoder_attention_heads, Lv,
                 cfg.encoder_n_points, cfg.dropout, cfg.activation_dropout,
+                cfg.activation_function,
                 dtype=dtype, msda_impl=cfg.msda_impl,
                 msda_window=cfg.msda_window, msda_band=cfg.msda_band,
                 msda_int8=cfg.msda_int8,
@@ -292,7 +296,7 @@ class DeformableDetrBase(nn.Module):
             hidden, q, k = DecLayer(
                 E, cfg.decoder_ffn_dim, cfg.decoder_attention_heads, Lv,
                 cfg.decoder_n_points, cfg.dropout, cfg.attention_dropout,
-                cfg.activation_dropout, dtype=dtype,
+                cfg.activation_dropout, cfg.activation_function, dtype=dtype,
                 msda_impl=cfg.msda_impl, msda_int8=cfg.msda_int8,
                 name=f"decoder_layer_{i}",
             )(hidden, query_pos, encoder_hidden, ref_input, shapes,

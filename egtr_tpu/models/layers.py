@@ -36,6 +36,16 @@ def dense(features: int, name: str, kernel_init=default_kernel_init,
                     dtype=dtype, name=name)
 
 
+# FFN activation (the config's ``activation_function``; reference ACT2FN
+# at deformable_detr.py:1297,1396). torch's "gelu" is the exact erf form —
+# flax's default is the tanh approximation, so approximate=False matters.
+ACT_FN = {
+    "relu": nn.relu,
+    "gelu": lambda x: nn.gelu(x, approximate=False),
+    "silu": nn.silu,
+}
+
+
 def layer_norm(x, name: str, dtype=None):
     """LayerNorm with fp32 statistics; output cast back to the compute
     dtype (standard bf16-training practice). epsilon matches torch's
@@ -235,6 +245,7 @@ class EncoderLayer(nn.Module):
     n_points: int
     dropout: float = 0.1
     activation_dropout: float = 0.0
+    activation: str = "relu"
     dtype: Optional[jnp.dtype] = None
     msda_impl: str = "auto"
     msda_window: int = 0
@@ -261,8 +272,8 @@ class EncoderLayer(nn.Module):
                                    "self_attn_layer_norm", self.dtype)
 
         residual = hidden_states
-        hidden_states = nn.relu(dense(self.ffn_dim, "fc1",
-                                      dtype=self.dtype)(hidden_states))
+        hidden_states = ACT_FN[self.activation](
+            dense(self.ffn_dim, "fc1", dtype=self.dtype)(hidden_states))
         hidden_states = nn.Dropout(self.activation_dropout)(
             hidden_states, deterministic)
         hidden_states = dense(self.d_model, "fc2",
@@ -295,6 +306,7 @@ class DecoderLayer(nn.Module):
     dropout: float = 0.1
     attention_dropout: float = 0.0
     activation_dropout: float = 0.0
+    activation: str = "relu"
     dtype: Optional[jnp.dtype] = None
     msda_impl: str = "auto"
     msda_int8: bool = False
@@ -326,8 +338,8 @@ class DecoderLayer(nn.Module):
                                    "encoder_attn_layer_norm", self.dtype)
 
         residual = hidden_states
-        hidden_states = nn.relu(dense(self.ffn_dim, "fc1",
-                                      dtype=self.dtype)(hidden_states))
+        hidden_states = ACT_FN[self.activation](
+            dense(self.ffn_dim, "fc1", dtype=self.dtype)(hidden_states))
         hidden_states = nn.Dropout(self.activation_dropout)(
             hidden_states, deterministic)
         hidden_states = dense(self.d_model, "fc2",

@@ -126,3 +126,70 @@ def test_stem_conv_space_to_depth_equivalence():
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
     np.testing.assert_allclose(np.asarray(y_odd), np.asarray(ref_odd),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_dilation_c5_subsample_exactness():
+    """dilation=True (timm output_stride=16, deformable_detr.py:144,751)
+    must equal the strided backbone on the common grid: a stride-2 conv is
+    a stride-1 conv subsampled at even positions, and dilation-2 taps on
+    the fine grid read exactly the coarse grid's dilation-1 taps (the
+    'a trous' identity) — so C5_dilated[::2, ::2] == C5_strided, exactly,
+    on the SAME params (checkpoints convert 1:1 between the two modes)."""
+    from egtr_tpu.models.backbone import ResNet50
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((1, 64, 64, 3)), jnp.float32)
+    strided = ResNet50()
+    dilated = ResNet50(dilation=True)
+    params = strided.init(jax.random.PRNGKey(0), x)
+    # same param tree either way (dilation only re-routes the convs)
+    assert jax.tree_util.tree_structure(params) == \
+        jax.tree_util.tree_structure(dilated.init(jax.random.PRNGKey(0), x))
+    c3s, c4s, c5s = strided.apply(params, x)
+    c3d, c4d, c5d = dilated.apply(params, x)
+    assert c5d.shape[1:3] == c4d.shape[1:3]  # stride 16, not 32
+    np.testing.assert_array_equal(np.asarray(c3s), np.asarray(c3d))
+    np.testing.assert_array_equal(np.asarray(c4s), np.asarray(c4d))
+    np.testing.assert_allclose(np.asarray(c5d[:, ::2, ::2]),
+                               np.asarray(c5s), atol=1e-5, rtol=1e-5)
+
+
+def test_dilation_full_model_forward():
+    cfg = TINY.replace(dilation=True)
+    assert level_shapes((600, 1000), 4, dilation=True) == (
+        (75, 125), (38, 63), (38, 63), (19, 32))
+    x = jnp.asarray(
+        np.random.default_rng(4).standard_normal((1, 64, 96, 3)), jnp.float32)
+    model = EgtrModel(cfg)
+    params = model.init(jax.random.PRNGKey(0), x)
+    out = model.apply(params, x)
+    assert np.isfinite(np.asarray(out["pred_rel"])).all()
+
+
+def test_activation_function_gelu():
+    """activation_function wires into the FFNs (reference ACT2FN,
+    deformable_detr.py:1297,1396); 'gelu' must be torch's exact erf form,
+    not flax's default tanh approximation."""
+    from scipy.special import erf
+    from egtr_tpu.models.layers import ACT_FN
+
+    x = np.linspace(-4, 4, 101, dtype=np.float32)
+    expect = 0.5 * x * (1.0 + erf(x / np.sqrt(2.0)))
+    np.testing.assert_allclose(np.asarray(ACT_FN["gelu"](jnp.asarray(x))),
+                               expect, atol=1e-6)
+
+    img = jnp.asarray(
+        np.random.default_rng(5).standard_normal((1, 64, 96, 3)), jnp.float32)
+    out_r = EgtrModel(TINY).apply(
+        EgtrModel(TINY).init(jax.random.PRNGKey(0), img), img)
+    cfg_g = TINY.replace(activation_function="gelu")
+    out_g = EgtrModel(cfg_g).apply(
+        EgtrModel(cfg_g).init(jax.random.PRNGKey(0), img), img)
+    assert np.abs(np.asarray(out_r["logits"])
+                  - np.asarray(out_g["logits"])).max() > 1e-4
+    assert np.isfinite(np.asarray(out_g["pred_rel"])).all()
+
+
+def test_activation_function_validated():
+    with pytest.raises(ValueError, match="activation_function"):
+        TINY.replace(activation_function="tanh")
