@@ -35,15 +35,10 @@ class CocoEvaluator:
     def summarize(self) -> Dict[str, float]:
         return self._map.accumulate()
 
-    # --- multi-host merge: the reference syncs per-rank COCO predictions
-    #     before summarizing (lib/evaluation/coco_eval.py:59-64,178-207) ---
+    # --- multi-host merge: delegates to CocoMAP's public state API
+    #     (reference: lib/evaluation/coco_eval.py:59-64,178-207) ---
     def state(self) -> dict:
-        return {"gts": dict(self._map._gts), "dts": dict(self._map._dts),
-                "img_ids": list(self._map._img_ids)}
+        return self._map.state()
 
     def merge_state(self, other: dict) -> None:
-        for k, v in other["gts"].items():
-            self._map._gts[k].extend(v)
-        for k, v in other["dts"].items():
-            self._map._dts[k].extend(v)
-        self._map._img_ids.extend(other["img_ids"])
+        self._map.merge_state(other)

@@ -76,6 +76,23 @@ class CocoMAP:
             self._dts[(img_id, int(d_labels[i]))].append(
                 dict(box=d_boxes[i], score=float(d_scores[i])))
 
+    # --- public multi-host merge API (the reference syncs per-rank COCO
+    #     predictions before summarizing: lib/evaluation/coco_eval.py:
+    #     59-64,178-207). state() is picklable for allgather transport. ---
+    def state(self) -> Dict:
+        return {"gts": dict(self._gts), "dts": dict(self._dts),
+                "img_ids": list(self._img_ids)}
+
+    def merge_state(self, other: Dict) -> None:
+        """Fold another evaluator's ``state()`` into this one. Duplicate
+        image ids are deduplicated at accumulate() time (first occurrence
+        wins, matching pycocotools' unique-imgIds semantics)."""
+        for k, v in other["gts"].items():
+            self._gts[k].extend(v)
+        for k, v in other["dts"].items():
+            self._dts[k].extend(v)
+        self._img_ids.extend(other["img_ids"])
+
     def _evaluate_img(self, img_id, cat, area_rng, max_det):
         gts = self._gts.get((img_id, cat), [])
         dts = sorted(self._dts.get((img_id, cat), []),

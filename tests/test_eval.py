@@ -462,3 +462,29 @@ def test_multiple_preds_mean_recall_hand_computed():
     # (1.0 + 0.0) / 4 predicates — NaN rows skipped in the sum, not the
     # denominator
     assert mr["mR@20"] == 0.25 and mr["mR@50"] == 0.25 and mr["mR@100"] == 0.25
+
+
+def test_coco_map_public_state_merge():
+    """CocoMAP.state()/merge_state() are the public multi-host merge
+    surface (coco_eval.py delegates to them instead of reaching into
+    privates): merging host B's state into host A must equal evaluating
+    all images on one host."""
+    rng = np.random.default_rng(7)
+
+    def add(m, img_id):
+        boxes = rng.uniform(0, 40, (2, 4))
+        boxes[:, 2:] = boxes[:, :2] + 15
+        m.add_image(img_id,
+                    gt=dict(boxes=boxes, labels=np.array([1, 1])),
+                    det=dict(boxes=boxes, scores=np.array([0.9, 0.8]),
+                             labels=np.array([1, 1])))
+
+    a, b, ref = CocoMAP([1]), CocoMAP([1]), CocoMAP([1])
+    rng_state = rng.bit_generator.state
+    add(a, 0); add(a, 1); add(b, 2)
+    rng.bit_generator.state = rng_state
+    add(ref, 0); add(ref, 1); add(ref, 2)
+    st = b.state()
+    assert set(st) == {"gts", "dts", "img_ids"}
+    a.merge_state(st)
+    assert a.accumulate() == ref.accumulate()
