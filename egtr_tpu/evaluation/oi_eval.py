@@ -18,7 +18,24 @@ from typing import Dict, List, Sequence
 import numpy as np
 
 from .coco_map import CocoMAP
-from .sg_eval import _compute_pred_matches, argsort_desc
+from .sg_eval import _compute_pred_matches
+
+
+def _top_inds_desc(scores: np.ndarray, k: int) -> np.ndarray:
+    """Top-``k`` indices of a 2-D array in descending score order — the
+    partial-top-k equivalent of ``argsort_desc(scores)[:k]``
+    (lib/pytorch_misc.py:27-34) that avoids sorting the full P x prd_k
+    product tensor. Ties break by flat index (stable), matching numpy's
+    behavior on the fully-sorted path for distinct scores."""
+    flat = scores.ravel()
+    if flat.size <= k:
+        top = np.argsort(-flat, kind="stable")
+    else:
+        part = np.argpartition(-flat, k - 1)[:k]
+        # sort the k survivors by (-score, flat index) for a stable order
+        part = part[np.lexsort((part, -flat[part]))]
+        top = part
+    return np.column_stack(np.unravel_index(top, scores.shape))
 
 
 def boxes_union(b1: np.ndarray, b2: np.ndarray) -> np.ndarray:
@@ -167,6 +184,14 @@ class OIEvaluator:
         self.results: List[dict] = []
 
     def __call__(self, gt_entry: dict, pred_entry: dict) -> None:
+        """Accumulate one image, reducing the Q^2-pair predictions to the
+        per-image top-``topk`` triples IMMEDIATELY (the reference stores
+        raw Q^2 x prd_k score tensors per image and sorts them all at
+        aggregate time, oi_eval.py:77-293 — ~10 MB/image at Q=200, which
+        does not scale to the 125k-image OI test split). The reduction
+        here is exactly the reference's selection (top prd_k predicates
+        per pair, then global top-k of s*o*p products, then the >1e-5
+        score cut), computed with partial top-k instead of full sorts."""
         gt_boxes = np.asarray(gt_entry["gt_boxes"], float)
         gt_class = np.asarray(gt_entry["gt_classes"])
         rels = np.asarray(gt_entry["gt_relations"]).reshape(-1, 3)
@@ -182,12 +207,32 @@ class OIEvaluator:
         pc = np.asarray(pred_entry["pred_classes"])
         ps = np.asarray(pred_entry["obj_scores"], float)
         so = np.asarray(pred_entry["sbj_obj_inds"]).reshape(-1, 2)
+        scores_prd = np.asarray(pred_entry["pred_scores"], float)
+
+        prd_k = min(self.prd_k, scores_prd.shape[1])
+        # row-wise top prd_k predicates: argpartition + in-k sort instead
+        # of a full argsort of every row
+        part = np.argpartition(-scores_prd, prd_k - 1, axis=1)[:, :prd_k]
+        part_scores = np.take_along_axis(scores_prd, part, axis=1)
+        order = np.argsort(-part_scores, axis=1, kind="stable")
+        labels_prd_sorted = np.take_along_axis(part, order, axis=1)
+        scores_prd_sorted = np.take_along_axis(part_scores, order, axis=1)
+
+        scores_so = ps[so[:, 0]] * ps[so[:, 1]]
+        scores_spo = scores_so[:, None] * scores_prd_sorted  # [P, prd_k]
+        inds = _top_inds_desc(scores_spo, self.topk)
+        det_scores_top = scores_spo[inds[:, 0], inds[:, 1]]
+        cand = det_scores_top > 0.00001
+        inds = inds[cand]
+        det_scores_top = det_scores_top[cand]
+        s_idx, o_idx = so[inds[:, 0], 0], so[inds[:, 0], 1]
         r.update(
             pred_boxes=pb, pred_class=pc, pred_cls_scores=ps,
-            sbj_boxes=pb[so[:, 0]], obj_boxes=pb[so[:, 1]],
-            sbj_labels=pc[so[:, 0]], obj_labels=pc[so[:, 1]],
-            sbj_scores=ps[so[:, 0]], obj_scores=ps[so[:, 1]],
-            pred_scores=np.asarray(pred_entry["pred_scores"], float),
+            det_boxes_s_top=pb[s_idx], det_boxes_o_top=pb[o_idx],
+            det_labels_s_top=pc[s_idx],
+            det_labels_p_top=labels_prd_sorted[inds[:, 0], inds[:, 1]],
+            det_labels_o_top=pc[o_idx],
+            det_scores_top=det_scores_top,
         )
         self.results.append(r)
 
@@ -199,36 +244,27 @@ class OIEvaluator:
         self.results.extend(other)
 
     def _eval_rel(self) -> Dict[str, float]:
-        topk, prd_k = self.topk, self.prd_k
         all_gt_cnt = 0
         recalls = {k: 0 for k in (1, 5, 10, 20, 50, 100)}
         topk_dets = []
         for im_i, res in enumerate(self.results):
-            scores_prd = res["pred_scores"]
-            labels_prd_sorted = np.argsort(-scores_prd, axis=1)
-            scores_prd_sorted = -np.sort(-scores_prd, axis=1)
-            scores_so = res["sbj_scores"] * res["obj_scores"]
-            scores_spo = scores_so[:, None] * scores_prd_sorted[:, :prd_k]
-            inds = argsort_desc(scores_spo)[:topk]
-            det_scores_top = scores_spo[inds[:, 0], inds[:, 1]]
-            boxes_so_top = np.hstack([res["sbj_boxes"][inds[:, 0]],
-                                      res["obj_boxes"][inds[:, 0]]])
-            labels_p_top = labels_prd_sorted[inds[:, 0], inds[:, 1]]
-            labels_spo_top = np.stack([res["sbj_labels"][inds[:, 0]],
-                                       labels_p_top,
-                                       res["obj_labels"][inds[:, 0]]], 1)
-            cand = np.where(det_scores_top > 0.00001)[0]
-            boxes_so_top = boxes_so_top[cand]
-            labels_spo_top = labels_spo_top[cand]
-            det_scores_top = det_scores_top[cand]
+            # the top-k triple selection already happened in __call__;
+            # here we only re-assemble the per-image det record
+            boxes_so_top = np.hstack([res["det_boxes_s_top"],
+                                      res["det_boxes_o_top"]])
+            labels_spo_top = np.stack([res["det_labels_s_top"],
+                                       res["det_labels_p_top"],
+                                       res["det_labels_o_top"]], 1) \
+                if len(res["det_labels_p_top"]) else np.empty((0, 3))
+            det_scores_top = res["det_scores_top"]
 
             topk_dets.append(dict(
                 image=im_i,
-                det_boxes_s_top=boxes_so_top[:, :4],
-                det_boxes_o_top=boxes_so_top[:, 4:],
-                det_labels_s_top=labels_spo_top[:, 0],
-                det_labels_p_top=labels_spo_top[:, 1],
-                det_labels_o_top=labels_spo_top[:, 2],
+                det_boxes_s_top=res["det_boxes_s_top"],
+                det_boxes_o_top=res["det_boxes_o_top"],
+                det_labels_s_top=res["det_labels_s_top"],
+                det_labels_p_top=res["det_labels_p_top"],
+                det_labels_o_top=res["det_labels_o_top"],
                 det_scores_top=det_scores_top,
                 gt_boxes_sbj=res["gt_sbj_boxes"],
                 gt_boxes_obj=res["gt_obj_boxes"],

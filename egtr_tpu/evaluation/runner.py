@@ -90,6 +90,7 @@ def evaluate_sgg(model, cfg, params, loader, rel_categories: Sequence[str], *,
         if eval_multiple_preds else None
 
     n_img = 0
+    _so_pairs: dict = {}
     for batch in loader:
         post = infer(params, jnp.asarray(batch["pixel_values"]),
                      jnp.asarray(batch["pixel_mask"]))
@@ -155,7 +156,13 @@ def evaluate_sgg(model, cfg, params, loader, rel_categories: Sequence[str], *,
                                        rel_categories)
             if oi_evaluator is not None:
                 Q = post["pred_classes"].shape[1]
-                so = np.array([(a, b) for a in range(Q) for b in range(Q)])
+                if _so_pairs.get("Q") != Q:
+                    # all Q^2 (subject, object) index pairs, built once —
+                    # the reference rebuilds this list per image
+                    # (train_egtr.py:154-173)
+                    grid = np.indices((Q, Q)).reshape(2, -1).T
+                    _so_pairs.update(Q=Q, pairs=grid)
+                so = _so_pairs["pairs"]
                 R = cfg.num_rel_labels
                 oi_evaluator(gt_entry, {
                     "pred_boxes": pred_boxes_abs,

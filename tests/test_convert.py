@@ -304,3 +304,66 @@ def test_convert_backbone_state_dict_raw_timm_keys():
 
     with pytest.raises(ValueError):
         convert_backbone_state_dict({"unrelated.weight": np.zeros(3)})
+
+
+def test_reference_artifact_ingestion_two_stage_bin(rng, tmp_path):
+    """Ingestion dry run for the OTHER released layout (VERDICT r4 next
+    #10): a bare ``pytorch_model.bin`` (HF save_pretrained format — no
+    Lightning ``state_dict`` wrapper, no ``model.`` prefix) carrying
+    TWO-STAGE keys (pos_trans*, enc_output*, extra class_embed.{L} /
+    bbox_embed.{L} clones; deformable_detr.py:2098-2159,2426-2443) must
+    load through scripts/evaluate_egtr.load_artifact and run forward."""
+    import json
+    import os
+    import sys
+    import types
+
+    import pytest
+
+    torch = pytest.importorskip("torch")
+
+    cfg = EgtrConfig(num_queries=12, num_labels=7, num_rel_labels=5,
+                     encoder_layers=2, decoder_layers=2,
+                     two_stage=True, with_box_refine=True,
+                     two_stage_num_proposals=12)
+    sd = build_reference_named_state_dict(cfg, rng)
+
+    art = tmp_path / "egtr__two_stage"
+    art.mkdir()
+    hf_cfg = {
+        "architectures": ["DetrForSceneGraphGeneration"],
+        "id2label": {str(i): f"c{i}" for i in range(7)},
+        "d_model": cfg.d_model, "encoder_layers": cfg.encoder_layers,
+        "decoder_layers": cfg.decoder_layers,
+        "encoder_ffn_dim": cfg.encoder_ffn_dim,
+        "decoder_ffn_dim": cfg.decoder_ffn_dim,
+        "encoder_attention_heads": cfg.encoder_attention_heads,
+        "decoder_attention_heads": cfg.decoder_attention_heads,
+        "num_queries": cfg.num_queries, "with_box_refine": True,
+        "two_stage": True, "two_stage_num_proposals": 12,
+        "num_rel_labels": 5, "model_type": "deformable_detr",
+    }
+    with open(art / "config.json", "w") as f:
+        json.dump(hf_cfg, f)
+    torch.save({k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()},
+               art / "pytorch_model.bin")
+
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))), "scripts"))
+    try:
+        from evaluate_egtr import load_artifact
+    finally:
+        sys.path.pop(0)
+
+    args = types.SimpleNamespace(num_queries=12, logit_adjustment=False,
+                                 logit_adj_tau=0.3, compute_dtype="float32")
+    loaded_cfg, params = load_artifact(str(art), args)
+    assert loaded_cfg.two_stage and loaded_cfg.with_box_refine
+    assert loaded_cfg.num_labels == 7
+
+    import jax.numpy as jnp
+    model = EgtrModel(loaded_cfg)
+    out = model.apply(params, jnp.zeros((1, 64, 64, 3), jnp.float32),
+                      deterministic=True)
+    assert np.isfinite(np.asarray(out["pred_boxes"])).all()
+    assert out["pred_rel"].shape[-1] == 5
