@@ -207,8 +207,11 @@ def _fwd_body_hb(ix_ref, iy_ref, aw_ref, vt, vb, out_ref, hb, w, D, P, cdt):
     quant = vt.dtype == jnp.int8
 
     xsub = lax.broadcasted_iota(jnp.int32, (w, TQ), 0).astype(jnp.float32)
-    ysub = lax.broadcasted_iota(jnp.int32, (2 * hb, TQ), 0).astype(
-        jnp.float32)
+    # per-half-band iotas instead of slicing one [2hb, TQ] hat array:
+    # for win=8 the half-band is 4 sublanes and Mosaic cannot lower the
+    # sub-8-row slice (it falls back to a gather and rejects it)
+    ysub_t = lax.broadcasted_iota(jnp.int32, (hb, TQ), 0).astype(jnp.float32)
+    ysub_b = ysub_t + float(hb)
 
     acc_t = jnp.zeros((hb, D, TQ), jnp.float32)
     acc_b = jnp.zeros((hb, D, TQ), jnp.float32)
@@ -227,9 +230,10 @@ def _fwd_body_hb(ix_ref, iy_ref, aw_ref, vt, vb, out_ref, hb, w, D, P, cdt):
             hxc = hx.astype(cdt)
             Tt = jnp.dot(vt, hxc, preferred_element_type=jnp.float32)
             Tb = jnp.dot(vb, hxc, preferred_element_type=jnp.float32)
-        hyw = jnp.maximum(0.0, 1.0 - jnp.abs(iyp - ysub)) * awp  # [2hb, TQ]
-        acc_t = acc_t + Tt.reshape(hb, D, TQ) * hyw[:hb, None, :]
-        acc_b = acc_b + Tb.reshape(hb, D, TQ) * hyw[hb:, None, :]
+        hyw_t = jnp.maximum(0.0, 1.0 - jnp.abs(iyp - ysub_t)) * awp  # [hb,TQ]
+        hyw_b = jnp.maximum(0.0, 1.0 - jnp.abs(iyp - ysub_b)) * awp
+        acc_t = acc_t + Tt.reshape(hb, D, TQ) * hyw_t[:, None, :]
+        acc_b = acc_b + Tb.reshape(hb, D, TQ) * hyw_b[:, None, :]
     out_ref[0, 0] = acc_t.sum(axis=0) + acc_b.sum(axis=0)
 
 
@@ -256,8 +260,9 @@ def _fwd_kernel_win_pp(bidx_ref, ix_ref, iy_ref, aw_ref, *refs,
     quant = vrefs[0].dtype == jnp.int8
 
     xsub = lax.broadcasted_iota(jnp.int32, (w, TQ), 0).astype(jnp.float32)
-    ysub = lax.broadcasted_iota(jnp.int32, (2 * hb, TQ), 0).astype(
-        jnp.float32)
+    # two half-band iotas, not a [2hb, TQ] slice — see _fwd_body_hb
+    ysub_t = lax.broadcasted_iota(jnp.int32, (hb, TQ), 0).astype(jnp.float32)
+    ysub_b = ysub_t + float(hb)
 
     out = jnp.zeros((D, TQ), jnp.float32)
     for p in range(P):
@@ -277,9 +282,10 @@ def _fwd_kernel_win_pp(bidx_ref, ix_ref, iy_ref, aw_ref, *refs,
             hxc = hx.astype(cdt)
             Tt = jnp.dot(vt, hxc, preferred_element_type=jnp.float32)
             Tb = jnp.dot(vb, hxc, preferred_element_type=jnp.float32)
-        hyw = jnp.maximum(0.0, 1.0 - jnp.abs(iyp - ysub)) * awp  # [2hb, TQ]
-        out = out + ((Tt.reshape(hb, D, TQ) * hyw[:hb, None, :]).sum(0)
-                     + (Tb.reshape(hb, D, TQ) * hyw[hb:, None, :]).sum(0))
+        hyw_t = jnp.maximum(0.0, 1.0 - jnp.abs(iyp - ysub_t)) * awp  # [hb,TQ]
+        hyw_b = jnp.maximum(0.0, 1.0 - jnp.abs(iyp - ysub_b)) * awp
+        out = out + ((Tt.reshape(hb, D, TQ) * hyw_t[:, None, :]).sum(0)
+                     + (Tb.reshape(hb, D, TQ) * hyw_b[:, None, :]).sum(0))
     out_ref[0, 0] = out
 
 
