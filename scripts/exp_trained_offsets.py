@@ -57,7 +57,8 @@ def build(args):
     cfg = EgtrConfig(
         num_labels=train_ds.num_classes(), num_rel_labels=num_rel,
         compute_dtype="bfloat16", max_gt_boxes=16, max_gt_rels=64,
-        msda_window=args.window, **(_model_kw(args) or {"num_queries": 200}))
+        msda_window=args.window, msda_band=args.band,
+        **(_model_kw(args) or {"num_queries": 200}))
     loader = Loader(train_ds, args.batch, shuffle=True, drop_last=True,
                     max_gt=cfg.max_gt_boxes, num_rel_labels=num_rel,
                     buckets=_bucket(args), num_workers=2)
@@ -101,6 +102,26 @@ def cmd_train(args):
                                                 cfg.use_log_softmax)
     params["params"]["rel_dist"] = rel_dist
     params["params"]["triplet_dist"] = triplet_dist
+
+    if args.init_from:
+        # adaptation fine-tune: warm-start the WEIGHTS from a finished
+        # run's artifact (e.g. the exact-MSDA step-6000 model) and train
+        # under a DIFFERENT msda_window/band so offsets and attention
+        # adapt to the band structure. Weights-only by design — this is a
+        # new phase in a new run dir, so fresh Adam moments are correct
+        # (unlike --resume, which restores the full TrainState).
+        import chex
+        from egtr_tpu.train.checkpoint import load_pretrained
+        init_cfg, init_params = load_pretrained(args.init_from)
+        arch_fields = [f for f in init_cfg.__dataclass_fields__
+                       if not f.startswith("msda_")
+                       and getattr(init_cfg, f) != getattr(cfg, f)]
+        if arch_fields:
+            raise SystemExit(
+                f"--init_from: architecture disagrees on {arch_fields}; "
+                f"only msda_* fields may differ for an adaptation run")
+        chex.assert_trees_all_equal_shapes(params, init_params)
+        params = init_params
 
     # accelerated from-scratch recipe: offsets sit in the "backbone" LR
     # group (optim.param_label), so lr_backbone controls how fast they
@@ -497,6 +518,12 @@ def main():
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--lr", type=float, default=1e-4)
     ap.add_argument("--lr_backbone", type=float, default=5e-5)
+    ap.add_argument("--init_from", default=None,
+                    help="train-time weights-only warm start from a "
+                         "finished run's artifact dir (adaptation "
+                         "fine-tune under a different msda_window/band)")
+    ap.add_argument("--band", default="tile", choices=["tile", "point"],
+                    help="train-time band mode when --window > 0")
     ap.add_argument("--window", type=int, default=0,
                     help="training-time msda_window (0 = exact)")
     ap.add_argument("--windows", default="0,16,32",
