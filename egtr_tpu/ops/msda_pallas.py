@@ -650,14 +650,34 @@ def _bwd_dvtt_kernel_win_pp(bsort_ref, pidx_ref, tidx_ref, first_ref,
                             win, w, D, cdt):
     """Per-point banded value grads. The grid's third axis enumerates
     (point, tile) pairs in band-sorted order: step s processes point
-    pidx[s] of tile tidx[s] (its rows arrive point-sliced, so the body
-    runs with P=1) and accumulates into band block bsort[s]; ``first``
-    marks the first pair of each band run (init vs accumulate)."""
+    pidx[s] of tile tidx[s] (its rows arrive point-sliced through a
+    5-D [B,H,P,1,Q_pad] layout — the singleton keeps the point axis out
+    of the block's last two dims, which Mosaic requires to be 8/128
+    multiples or full) and accumulates into band block bsort[s];
+    ``first`` marks the first pair of each band run (init vs
+    accumulate). Inline P=1 version of ``_bwd_dvtt_body``: same dots,
+    same accumulation order."""
     del bsort_ref, pidx_ref, tidx_ref
     b, hh, s = pl.program_id(0), pl.program_id(1), pl.program_id(2)
     N = dvb_ref.shape[3]
-    dvtt = _bwd_dvtt_body(ix_ref, iy_ref, aw_ref, g_ref, N, win, w, D, 1,
-                          cdt)
+    TQ = ix_ref.shape[4]
+
+    xsub = lax.broadcasted_iota(jnp.int32, (w, TQ), 0).astype(jnp.float32)
+    ysub = (lax.broadcasted_iota(jnp.int32, (N, TQ), 0) // D).astype(
+        jnp.float32)
+
+    g = g_ref[0, 0].astype(jnp.float32)                    # [D, TQ]
+    g_tile = jnp.broadcast_to(g[None], (win, D, TQ)).reshape(N, TQ)
+
+    ixp = ix_ref[0, 0, 0, 0, :][None, :]                   # [1, TQ]
+    iyp = iy_ref[0, 0, 0, 0, :][None, :]
+    awp = aw_ref[0, 0, 0, 0, :][None, :]
+    hxT = jnp.maximum(0.0, 1.0 - jnp.abs(ixp - xsub))      # [w, TQ]
+    hy = jnp.maximum(0.0, 1.0 - jnp.abs(iyp - ysub))       # [N, TQ]
+    dT = hy * awp * g_tile
+    dvtt = lax.dot_general(
+        dT.astype(cdt), hxT.astype(cdt), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)                # [N, w]
 
     first = first_ref[b, hh, s] != 0
 
@@ -723,12 +743,17 @@ def _level_pallas_bwd_win_pp(Vh, bidx, ix, iyb, aw, g, *, win, w, D, P):
          (bsort[:, :, 1:] != bsort[:, :, :-1]).astype(jnp.int32)], axis=2)
 
     def prow():
-        # point-sliced rows: block (1,1,1,TQ) at (b, hh, pidx[s], tidx[s])
+        # point-sliced rows: block (1,1,1,1,TQ) at (b, hh, pidx[s], 0,
+        # tidx[s]) over a 5-D [B,H,P,1,Q_pad] view — the singleton keeps
+        # the sliced point axis out of the block's last two dims (Mosaic
+        # rejects a block dim of 1 over P=4 in the sublane position)
         return pl.BlockSpec(
-            (1, 1, 1, TQ),
-            lambda b, hh, s, bs, pi, ti, fi: (b, hh, pi[b, hh, s],
+            (1, 1, 1, 1, TQ),
+            lambda b, hh, s, bs, pi, ti, fi: (b, hh, pi[b, hh, s], 0,
                                               ti[b, hh, s]))
 
+    rows5 = (ix.reshape(B, H, P, 1, Q_pad), iyb.reshape(B, H, P, 1, Q_pad),
+             aw.reshape(B, H, P, 1, Q_pad))
     kern_v = functools.partial(_bwd_dvtt_kernel_win_pp, win=win, w=w, D=D,
                                cdt=Vh.dtype)
     grid_v = pltpu.PrefetchScalarGridSpec(
@@ -749,7 +774,7 @@ def _level_pallas_bwd_win_pp(Vh, bidx, ix, iyb, aw, g, *, win, w, D, P):
         grid_spec=grid_v,
         out_shape=jax.ShapeDtypeStruct((B, H, nb, N, w), jnp.float32),
         interpret=_interpret(),
-    )(bsort, pidx, tidx, first, ix, iyb, aw, g)
+    )(bsort, pidx, tidx, first, *rows5, g)
 
     # zero bands never selected by any (point, tile) pair
     used = (bflat[:, :, None, :] == jnp.arange(nb)[None, None, :, None]
