@@ -7,6 +7,18 @@ headline metric is the protocol batch-1 number, and ``batch8_fps`` reports
 batched-serving throughput at the same resolution (amortizes the ~27 ms
 axon dispatch+fetch overhead that dominates batch-1 on this tunnel).
 
+The default headline runs the ACCEPTED SERVING CONFIG — banded MSDA
+window 16, per-point bands, int8 stage-1 — settled by the round-5
+trained-offsets experiment (experiments/trained_offsets/): after a
+~1000-step adaptation fine-tune UNDER the windowed kernel, serving this
+config costs 0.90 R@50 pts vs the SAME weights evaluated exactly
+(0.8374 -> 0.8285 on the synthetic-VG protocol split) and BEATS the
+pre-adaptation exact model (0.8097); int8 changes zero R@K hits on top
+(window_sweep.json). The exact path (the reference-parity
+configuration, msda_window=0) is measured in the same run and reported
+as ``exact_*``; pass --exact for the old exact-only behavior, or any
+--msda-* flag to measure exactly one explicit config.
+
 The forward includes device-side top-k triplet extraction (the deployment
 path) and fetches the packed top-k outputs for every image. The headline
 loop keeps up to 4 async host fetches in flight (copy_to_host_async) —
@@ -126,9 +138,22 @@ def main():
     ap.add_argument("--win16", action="store_true",
                     help="also measure the banded (window=16) batch-8 "
                          "serving point (extra compile, ~3 min)")
+    ap.add_argument("--exact", action="store_true",
+                    help="measure only the exact (msda_window=0) path")
     args = ap.parse_args()
     if args.quick:
         args.iters = 5
+
+    explicit = (args.msda_impl != "auto" or args.msda_window != 0
+                or args.msda_band != "tile" or args.msda_int8)
+    if not explicit and not args.exact:
+        # accepted serving config (see module docstring): banded window 16,
+        # per-point bands, int8 stage-1 — accuracy bound measured on the
+        # adaptation-finetuned model in experiments/trained_offsets/
+        args.msda_window, args.msda_band, args.msda_int8 = 16, "point", True
+        serving_default = True
+    else:
+        serving_default = False
 
     # FPS-protocol shape: 600x1000 -> bucket 608x1008 (static)
     H, W = 608, 1008
@@ -172,6 +197,29 @@ def main():
         "device_ms_per_image": round(device_ms, 2),
         "tunnel_rtt_ms": round(rtt_ms, 2),
     }
+    if serving_default:
+        result["serving_config"] = ("msda_window=16 band=point int8 "
+                                    "(adaptation-finetuned serving recipe)")
+        result["accuracy_bound"] = {
+            "R@50_delta_vs_same_weights_exact": -0.0090,
+            "mR@50_delta_vs_same_weights_exact": -0.0274,
+            "R@50_vs_pre_adaptation_exact_model": +0.0188,
+            "int8_R@K_delta": 0.0,
+            "source": ("experiments/trained_offsets/adapt_w16p/"
+                       "window_sweep.json (synthetic-VG protocol split, "
+                       "985-step adaptation fine-tune)"),
+        }
+        # the reference-parity path, measured in the same run
+        params_e, x_e, infer_e = _build(
+            dict(cfg_kw, msda_window=0, msda_band="tile",
+                 msda_int8=False), 1, H, W)
+        result["exact_fps"] = round(
+            _time_fps(params_e, x_e, infer_e, args.iters, args.warmup), 3)
+        t0 = time.perf_counter()
+        outs = [infer_e(params_e, x_e) for _ in range(args.iters)]
+        np.asarray(outs[-1])
+        result["exact_device_ms_per_image"] = round(
+            1e3 * (time.perf_counter() - t0) / args.iters, 2)
 
     if args.batch8:
         params8, x8, infer8 = _build(cfg_kw, 8, H, W)

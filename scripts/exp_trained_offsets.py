@@ -433,14 +433,17 @@ def cmd_sweep(args):
     npz_path = os.path.join(args.out, "exact_raw0.npz")
     raw0 = dict(np.load(npz_path)) if os.path.exists(npz_path) else None
 
-    # window tokens: "16" = per-tile band, "16p" = per-point bands
+    # window tokens: "16" = per-tile band, "16p" = per-point bands,
+    # trailing "i" = int8 stage-1 on top (e.g. "16pi")
     variants = []
     for tok in args.windows.split(","):
         tok = tok.strip()
         if not tok:
             continue
+        int8 = tok.endswith("i")
+        tok = tok.rstrip("i")
         band = "point" if tok.endswith("p") else "tile"
-        variants.append((int(tok.rstrip("p")), band, False))
+        variants.append((int(tok.rstrip("p")), band, int8))
     if args.int8:
         # de-asterisk the OTHER opt-in lever on the same trained weights
         variants += [(0, "tile", True), (16, "tile", True)]
