@@ -118,6 +118,13 @@ def _time_fps(params, x, infer, iters, warmup, pipelined=True):
 
 
 def main():
+    import os
+    # default the AOT executable cache ON for bench runs (opt out with
+    # EGTR_AOT_CACHE=0): the serving + exact protocol programs are 3 full
+    # Mosaic compiles cold — minutes to >1h on a bad tunnel day — vs 1-2 s
+    # warm loads; keys include the lowered HLO + jax version + device kind,
+    # so a changed program or machine safely misses to a fresh compile
+    os.environ.setdefault("EGTR_AOT_CACHE", "1")
     from egtr_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
     ap = argparse.ArgumentParser()
