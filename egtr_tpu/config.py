@@ -30,6 +30,10 @@ class EgtrConfig:
     activation_dropout: float = 0.0
     activation_function: str = "relu"
     position_embedding_type: str = "sine"
+    # timm model name in the reference (deformable_detr.py:748-756); here
+    # the supported family is the hand-built frozen-BN ResNet trunk
+    # (models/backbone.py) at either depth. Unknown names are rejected in
+    # __post_init__ rather than silently falling back to resnet50.
     backbone: str = "resnet50"
     dilation: bool = False
     num_feature_levels: int = 4
@@ -151,10 +155,19 @@ class EgtrConfig:
             raise ValueError(
                 f"activation_function must be one of relu/gelu/silu, got "
                 f"{self.activation_function!r}")
+        if self.backbone not in _BACKBONE_BLOCKS:
+            raise ValueError(
+                f"backbone must be one of "
+                f"{sorted(_BACKBONE_BLOCKS)}, got {self.backbone!r}")
 
     @property
     def head_dim(self) -> int:
         return self.d_model // self.decoder_attention_heads
+
+    @property
+    def backbone_blocks(self) -> Tuple[int, int, int, int]:
+        """Bottleneck block counts per stage for ``backbone``."""
+        return _BACKBONE_BLOCKS[self.backbone]
 
     def replace(self, **kw) -> "EgtrConfig":
         return dataclasses.replace(self, **kw)
@@ -186,6 +199,14 @@ class EgtrConfig:
             return cls.from_json(f.read())
 
 
-# Feature-level channel counts of the ResNet-50 C3/C4/C5 outputs consumed by the
+# Supported backbone trunks -> bottleneck block counts per stage. Both are
+# the torchvision/timm ResNet v1.5 family, so checkpoints convert with the
+# same key map and the C3/C4/C5 channel counts are identical.
+_BACKBONE_BLOCKS = {
+    "resnet50": (3, 4, 6, 3),
+    "resnet101": (3, 4, 23, 3),
+}
+
+# Feature-level channel counts of the ResNet C3/C4/C5 outputs consumed by the
 # input projections (reference: deformable_detr.py:1988-2026).
 RESNET50_STAGE_CHANNELS: Tuple[int, int, int] = (512, 1024, 2048)

@@ -130,10 +130,12 @@ class Bottleneck(nn.Module):
 
 
 class ResNet50(nn.Module):
-    """ResNet-50 trunk returning (C3, C4, C5) feature maps, NHWC.
+    """ResNet v1.5 trunk returning (C3, C4, C5) feature maps, NHWC.
 
     Matches timm ``resnet50(features_only=True, out_indices=(2,3,4))``
-    used by the reference (deformable_detr.py:748-756). ``dilation=True``
+    used by the reference (deformable_detr.py:748-756); ``blocks``
+    selects the depth within the bottleneck family (resnet50 3-4-6-3,
+    resnet101 3-4-23-3 — the config's ``backbone`` field). ``dilation=True``
     is timm's ``output_stride=16`` (the config's ``dilation`` flag,
     deformable_detr.py:144,751): layer4 keeps stride 16 — its first
     block's stride moves into dilation (first block's 3x3 stays

@@ -111,7 +111,8 @@ class DeformableDetrBase(nn.Module):
         no_mask = pixel_mask is None
 
         # ---- backbone (C3, C4, C5) ----
-        feats = ResNet50(dtype=dtype, dilation=cfg.dilation,
+        feats = ResNet50(blocks=cfg.backbone_blocks, dtype=dtype,
+                         dilation=cfg.dilation,
                          name="backbone")(pixel_values)
 
         shapes = level_shapes((H_img, W_img), Lv, cfg.dilation)

@@ -52,6 +52,9 @@ def _set(tree: dict, path: Tuple[str, ...], value: np.ndarray):
     node[path[-1]] = value
 
 
+_LAYER_BLOCK_RE = re.compile(r"layer(\d)\.(\d+)\.")
+
+
 def _convert_resnet(sd: Dict[str, np.ndarray], out: dict, src_prefix: str,
                     dst: Tuple[str, ...]):
     """timm/torchvision resnet50 keys -> ResNet50 flax tree."""
@@ -63,8 +66,18 @@ def _convert_resnet(sd: Dict[str, np.ndarray], out: dict, src_prefix: str,
     put("conv1.weight", ("conv1", "kernel"), _conv)
     for n in ("weight", "bias", "running_mean", "running_var"):
         put(f"bn1.{n}", ("bn1", n))
-    blocks = {1: 3, 2: 4, 3: 6, 4: 3}
-    for stage, n_blocks in blocks.items():
+    # block counts are inferred from the keys present (any sub-key of the
+    # block counts), so the same map covers every depth of the family
+    # (resnet50 3-4-6-3, resnet101 3-4-23-3) and partial state dicts
+    n_blocks_of = {1: 0, 2: 0, 3: 0, 4: 0}
+    for key in sd:
+        if key.startswith(src_prefix):
+            m = _LAYER_BLOCK_RE.match(key[len(src_prefix):])
+            if m:
+                stage, b = int(m.group(1)), int(m.group(2))
+                if stage in n_blocks_of:
+                    n_blocks_of[stage] = max(n_blocks_of[stage], b + 1)
+    for stage, n_blocks in n_blocks_of.items():
         for b in range(n_blocks):
             base = f"layer{stage}.{b}."
             name = f"layer{stage}_{b}"

@@ -14,6 +14,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--window", type=int, default=0)
+    ap.add_argument("--band", default="tile", choices=["tile", "point"])
+    ap.add_argument("--int8", action="store_true")
+    ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--trace-dir", default="/tmp/egtr_trace")
     args = ap.parse_args()
 
@@ -26,25 +29,25 @@ def main():
     from bench import _build
 
     cfg_kw = {"msda_impl": "auto", "msda_window": args.window,
-              "msda_int8": False}
-    params, x, infer = _build(cfg_kw, 1, 608, 1008)
+              "msda_band": args.band, "msda_int8": args.int8}
+    params, x, infer = _build(cfg_kw, args.batch, 608, 1008)
 
     print("compiling...", flush=True)
     t0 = time.time()
     np.asarray(infer(params, x))
     print(f"compiled+first exec in {time.time() - t0:.1f}s", flush=True)
 
-    # strict wall-clock
+    # strict wall-clock (per image)
     t0 = time.perf_counter()
     for _ in range(args.iters):
         np.asarray(infer(params, x))
-    strict_ms = 1e3 * (time.perf_counter() - t0) / args.iters
+    strict_ms = 1e3 * (time.perf_counter() - t0) / (args.iters * args.batch)
 
     # device-only: dispatch N then block once; the tunnel RTT amortizes
     t0 = time.perf_counter()
     outs = [infer(params, x) for _ in range(args.iters)]
     np.asarray(outs[-1])
-    chained_ms = 1e3 * (time.perf_counter() - t0) / args.iters
+    chained_ms = 1e3 * (time.perf_counter() - t0) / (args.iters * args.batch)
 
     from egtr_tpu.utils.profiling import device_trace, summarize_trace
 

@@ -42,7 +42,7 @@ def build_reference_named_state_dict(cfg, rng):
     conv(bbp + "conv1", 3, 64, 7)
     bn(bbp + "bn1", 64)
     widths = [(64, 256), (128, 512), (256, 1024), (512, 2048)]
-    blocks = [3, 4, 6, 3]
+    blocks = cfg.backbone_blocks
     in_c = 64
     for s, (w, out_c) in enumerate(widths):
         for b in range(blocks[s]):
@@ -147,6 +147,7 @@ VARIANTS = {
     "two_stage": dict(two_stage=True, with_box_refine=True,
                       two_stage_num_proposals=12),
     "learned_posemb": dict(position_embedding_type="learned"),
+    "resnet101": dict(backbone="resnet101"),
 }
 
 

@@ -193,3 +193,25 @@ def test_activation_function_gelu():
 def test_activation_function_validated():
     with pytest.raises(ValueError, match="activation_function"):
         TINY.replace(activation_function="tanh")
+
+
+def test_backbone_validated_and_resnet101_runs():
+    """config.backbone selects the trunk depth (reference supports any
+    timm name, deformable_detr.py:748-756; here the frozen-BN ResNet
+    family) and unknown names fail loudly instead of silently running
+    resnet50."""
+    with pytest.raises(ValueError, match="backbone"):
+        TINY.replace(backbone="resnet18")
+
+    cfg = TINY.replace(backbone="resnet101")
+    assert cfg.backbone_blocks == (3, 4, 23, 3)
+    x = jnp.asarray(
+        np.random.default_rng(6).standard_normal((1, 64, 96, 3)), jnp.float32)
+    model = EgtrModel(cfg)
+    params = model.init(jax.random.PRNGKey(0), x)
+    # depth shows up in the param tree: layer3 has 23 blocks
+    bb = params["params"]["model"]["backbone"]
+    assert "layer3_22" in bb and "layer3_6" not in EgtrModel(TINY).init(
+        jax.random.PRNGKey(0), x)["params"]["model"]["backbone"]
+    out = model.apply(params, x)
+    assert np.isfinite(np.asarray(out["pred_rel"])).all()
