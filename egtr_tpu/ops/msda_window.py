@@ -120,6 +120,23 @@ def segment_rows(t, segs, TQ: int):
     return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1)
 
 
+def segment_rows_t(t, segs, TQ: int):
+    """Pre-transposed variant of ``segment_rows``: t is already
+    [B, H, P, Q] (query minor), so each segment is a lanes-axis slice +
+    zero-pad to a TQ multiple — no per-level transpose. Used by the
+    pallas dispatchers, which hoist the [B,Q,H,L,P]->[B,H,L,P,Q]
+    transpose out of the level loop (one producer-fused transpose
+    instead of 3 materialized slice+transpose ops per level)."""
+    parts = []
+    for (q0, qs) in segs:
+        seg = t[..., q0:q0 + qs]
+        qsp = -(-qs // TQ) * TQ
+        if qsp != qs:
+            seg = jnp.pad(seg, ((0, 0), (0, 0), (0, 0), (0, qsp - qs)))
+        parts.append(seg)
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1)
+
+
 def _seg_slices(segs, TQ: int):
     out = []
     qp0 = 0

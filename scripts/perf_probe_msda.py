@@ -21,6 +21,10 @@ def main():
     ap.add_argument("--window", type=int, default=0,
                     help="banded window for stage 2 (0 = exact); "
                          "query_segments = the encoder shapes")
+    ap.add_argument("--band", default="tile", choices=["tile", "point"])
+    ap.add_argument("--int8", action="store_true")
+    ap.add_argument("--batch", type=int, default=1,
+                    help="stage-2 batch size (serving-shape scaling)")
     args = ap.parse_args()
 
     import jax
@@ -68,7 +72,7 @@ def main():
     # ---- stage 2: encoder-scale timing (608x1008 FPS bucket) ----
     shapes = ((76, 126), (38, 63), (19, 32), (10, 16))
     S = sum(h * w for h, w in shapes)
-    B, H, D, L, P = 1, 8, 32, 4, 4
+    B, H, D, L, P = args.batch, 8, 32, 4, 4
     Q = S
     rng = np.random.default_rng(1)
     value = jnp.asarray(rng.standard_normal((B, S, H, D)), jnp.bfloat16)
@@ -77,7 +81,10 @@ def main():
 
     wkw = {}
     if args.window:
-        wkw = dict(window=args.window, query_segments=shapes)
+        wkw = dict(window=args.window, query_segments=shapes,
+                   band=args.band)
+    if args.int8:
+        wkw["int8"] = True
 
     def timed(fn, label):
         np.asarray(fn(value, loc, aw))  # compile + first exec
